@@ -1,0 +1,109 @@
+"""Per-tile alpha compositing (XLA path), differentiable, memory-bounded.
+
+Consumes the output of `tiling.bin_gaussians`. The compositing math is
+identical to `reference.composite_pixels` but operates on per-tile
+fixed-capacity Gaussian lists, vectorized so every tile's pixel block is a
+(tile_h, tile_w) = (8, 128) vector register. Tiles are processed in chunks
+under `jax.lax.map` + `jax.checkpoint`, bounding activation memory to one
+chunk while AD recomputes the cumprods in the backward pass.
+
+This is the correctness/fallback path; `pallas_composite` provides the
+speed-of-light kernel with a handwritten VJP, validated against this one.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS, ProjectedGaussians
+from .tiling import TILE_H, TILE_W, TileBinning
+
+
+def _tile_pixel_grid(nty: int, ntx: int, tile_h: int, tile_w: int, dtype):
+    """Pixel-center coordinates per tile: (num_tiles, tile_h*tile_w, 2)."""
+    ty = jnp.arange(nty)
+    tx = jnp.arange(ntx)
+    tyy, txx = jnp.meshgrid(ty, tx, indexing="ij")
+    tile_origin = jnp.stack(
+        [txx.reshape(-1) * tile_w, tyy.reshape(-1) * tile_h], axis=-1
+    ).astype(dtype)
+    py = jnp.arange(tile_h)
+    px = jnp.arange(tile_w)
+    pyy, pxx = jnp.meshgrid(py, px, indexing="ij")
+    local = jnp.stack([pxx.reshape(-1), pyy.reshape(-1)], axis=-1).astype(dtype)
+    return tile_origin[:, None, :] + local[None, :, :]
+
+
+def composite_tiles(
+    pg: ProjectedGaussians,
+    binning: TileBinning,
+    background: jnp.ndarray,
+    image_shape: tuple[int, int],
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    tile_chunk: int = 16,
+) -> jnp.ndarray:
+    """Composite all tiles; returns (3, h, w).
+
+    Args:
+      tile_chunk: tiles processed per lax.map step (memory knob).
+    """
+    h, w = image_shape
+    nty, ntx = binning.num_tiles_y, binning.num_tiles_x
+    num_tiles = nty * ntx
+    K = binning.gaussian_ids.shape[1]
+    dtype = pg.mean2d.dtype
+
+    ids = binning.gaussian_ids  # (t, K)
+    safe_ids = jnp.maximum(ids, 0)
+    present = (ids >= 0).astype(dtype)
+
+    # Gather per-tile records (t, K, ...). Gradients flow back through the
+    # gathers to the projected Gaussians (scatter-add in the VJP).
+    mean2d = pg.mean2d[safe_ids]
+    conic = pg.conic[safe_ids]
+    color = pg.color[safe_ids]
+    opacity = pg.opacity[safe_ids] * present
+
+    pixels = _tile_pixel_grid(nty, ntx, tile_h, tile_w, dtype)  # (t, P, 2)
+
+    num_chunks = -(-num_tiles // tile_chunk)
+    pad = num_chunks * tile_chunk - num_tiles
+
+    def pad0(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    mean2d, conic, color, opacity, pixels = map(
+        pad0, (mean2d, conic, color, opacity, pixels)
+    )
+
+    def chunk_fn(args):
+        m2d, con, col, opa, pix = args  # (c, K, ...) / (c, P, 2)
+        d = pix[:, None, :, :] - m2d[:, :, None, :]  # (c, K, P, 2)
+        dx, dy = d[..., 0], d[..., 1]
+        power = (
+            -0.5 * (con[:, :, None, 0] * dx * dx + con[:, :, None, 2] * dy * dy)
+            - con[:, :, None, 1] * dx * dy
+        )
+        alpha = jnp.minimum(ALPHA_MAX, opa[:, :, None] * jnp.exp(power))
+        alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        T_after = jnp.cumprod(one_minus, axis=1)
+        T_before = T_after / one_minus
+        live = jnp.cumprod((T_after >= T_EPS).astype(dtype), axis=1)
+        weight = live * alpha * T_before  # (c, K, P)
+        out = jnp.einsum("ckp,ckc2->cpc2".replace("c2", "d"), weight, col)
+        T_final = jnp.prod(jnp.where(live > 0, one_minus, 1.0), axis=1)  # (c, P)
+        return out + T_final[..., None] * background[None, None, :]
+
+    chunked = lambda a: a.reshape(num_chunks, tile_chunk, *a.shape[1:])
+    out = jax.lax.map(
+        jax.checkpoint(chunk_fn),
+        (chunked(mean2d), chunked(conic), chunked(color), chunked(opacity), chunked(pixels)),
+    )  # (num_chunks, tile_chunk, P, 3)
+
+    out = out.reshape(num_chunks * tile_chunk, tile_h * tile_w, 3)[:num_tiles]
+    out = out.reshape(nty, ntx, tile_h, tile_w, 3)
+    img = out.transpose(4, 0, 2, 1, 3).reshape(3, nty * tile_h, ntx * tile_w)
+    return img[:, :h, :w]

@@ -1,0 +1,102 @@
+"""Tile binning for the production rasterizer (pure jnp, static shapes).
+
+The CUDA reference duplicates each Gaussian per overlapped 16x16 tile and
+radix-sorts (tileID | depth) keys with dynamic list sizes. On TPU we keep
+the same algorithm but with two static caps so every shape is fixed:
+
+  * ``max_dup``   — tiles a single Gaussian may claim (row-major over its
+                    AABB; overflow drops the farthest tiles of the AABB).
+  * ``max_per_tile`` — per-tile list capacity K (front-to-back; overflow
+                    drops the *farthest* Gaussians, the ones that would be
+                    occluded or nearly invisible anyway).
+
+Instead of 64-bit packed keys we sort lexicographically on
+(tile_id, depth_rank) with `jax.lax.sort`, which XLA lowers to an efficient
+TPU sort. Tile geometry is (tile_h, tile_w) = (8, 128) by default — one
+f32 VPU tile per screen tile, so the compositor's per-tile pixel vectors
+exactly fill the vector registers.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import ProjectedGaussians
+
+TILE_H = 8
+TILE_W = 128
+
+
+class TileBinning(NamedTuple):
+    gaussian_ids: jnp.ndarray  # (num_tiles, K) int32, -1 padded, front-to-back
+    counts: jnp.ndarray        # (num_tiles,) int32
+    num_tiles_y: int
+    num_tiles_x: int
+
+
+def bin_gaussians(
+    pg: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    max_dup: int = 32,
+    max_per_tile: int = 1024,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+) -> TileBinning:
+    h, w = image_shape
+    ntx = -(-w // tile_w)
+    nty = -(-h // tile_h)
+    num_tiles = ntx * nty
+    g = pg.mean2d.shape[0]
+
+    visible = pg.valid & (pg.radius > 0.0)
+
+    # AABB in tile units (CUDA getRect semantics: min inclusive, max exclusive).
+    x0 = jnp.clip(((pg.mean2d[:, 0] - pg.radius) / tile_w).astype(jnp.int32), 0, ntx)
+    x1 = jnp.clip(
+        jnp.floor((pg.mean2d[:, 0] + pg.radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, ntx
+    )
+    y0 = jnp.clip(((pg.mean2d[:, 1] - pg.radius) / tile_h).astype(jnp.int32), 0, nty)
+    y1 = jnp.clip(
+        jnp.floor((pg.mean2d[:, 1] + pg.radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, nty
+    )
+    nx = x1 - x0
+    ny = y1 - y0
+    visible = visible & (nx > 0) & (ny > 0)
+
+    # Enumerate up to max_dup tiles per Gaussian, row-major over the AABB.
+    slot = jnp.arange(max_dup, dtype=jnp.int32)
+    nx_safe = jnp.maximum(nx, 1)
+    ty = y0[:, None] + slot[None, :] // nx_safe[:, None]
+    tx = x0[:, None] + slot[None, :] % nx_safe[:, None]
+    in_box = slot[None, :] < (nx * ny)[:, None]
+    tile_id = ty * ntx + tx  # (g, max_dup)
+    pair_valid = in_box & visible[:, None]
+
+    # Depth rank as the secondary sort key (front-to-back inside each tile).
+    order = jnp.argsort(jnp.where(visible, pg.depth, jnp.inf))
+    rank = jnp.zeros(g, dtype=jnp.int32).at[order].set(jnp.arange(g, dtype=jnp.int32))
+
+    flat_tile = jnp.where(pair_valid, tile_id, num_tiles).reshape(-1).astype(jnp.int32)
+    flat_rank = jnp.broadcast_to(rank[:, None], (g, max_dup)).reshape(-1)
+    flat_gid = jnp.broadcast_to(
+        jnp.arange(g, dtype=jnp.int32)[:, None], (g, max_dup)
+    ).reshape(-1)
+
+    tile_sorted, _, gid_sorted = jax.lax.sort(
+        (flat_tile, flat_rank, flat_gid), num_keys=2
+    )
+
+    # Per-tile segments: starts via searchsorted over the sorted tile column.
+    tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
+    counts = jnp.minimum(starts[1:] - starts[:-1], max_per_tile)
+
+    k = jnp.arange(max_per_tile, dtype=jnp.int32)
+    positions = starts[:-1, None] + k[None, :]
+    in_seg = k[None, :] < counts[:, None]
+    positions = jnp.clip(positions, 0, tile_sorted.shape[0] - 1)
+    ids = jnp.where(in_seg, gid_sorted[positions], -1)
+
+    return TileBinning(gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx)

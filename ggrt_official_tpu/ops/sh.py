@@ -1,0 +1,242 @@
+"""Real spherical harmonics: evaluation and rotation (pure jnp).
+
+Replaces two reference components:
+  * the SH color evaluation inside the CUDA rasterizer (computeColorFromSH
+    in the external diff-gaussian-rasterization package; interface contract
+    at /root/reference/ggrt/model/pixelsplat/decoder/cuda_splatting.py:118-125),
+    extended here from the CUDA kernel's degree-3 cap to the full degree 4
+    that the GGRt config requests (sh_degree: 4 in
+    configs/pixelsplat/encoder/epipolar.yaml);
+  * e3nn-based SH rotation (/root/reference/ggrt/misc/sh_rotation.py:10-29),
+    re-implemented with the Ivanic–Ruedenberg recurrence so it is pure jnp,
+    jit-friendly and differentiable w.r.t. the rotation matrix.
+
+Basis convention: the standard 3DGS ordering — for each degree l the 2l+1
+coefficients are ordered m = -l..l, with the degree-1 basis being
+(-C1*y, C1*z, -C1*x), matching the CUDA kernel's hard-coded constants.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Constants from the 3DGS CUDA kernel (auxiliary.h), extended to degree 4.
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+         -1.0925484305920792, 0.5462742152960396)
+SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+         0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+         -0.5900435899266435)
+# Degree-4 real SH constants (same normalization family).
+SH_C4 = (2.5033429417967046, -1.7701307697799304, 0.9461746957575601,
+         -0.6690465435572892, 0.10578554691520431, -0.6690465435572892,
+         0.47308734787878004, -1.7701307697799304, 0.6258357354491761)
+
+
+def num_sh_coeffs(degree: int) -> int:
+    return (degree + 1) ** 2
+
+
+def eval_sh_basis(directions: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """Evaluate the real SH basis along unit directions.
+
+    Args:
+      directions: (..., 3) unit vectors.
+      degree: max SH degree (0..4).
+    Returns:
+      (..., (degree+1)^2) basis values such that
+      color = sum_i basis_i * coeff_i  (+0.5, clamped, per 3DGS convention —
+      the offset/clamp live in the rasterizer, not here).
+    """
+    x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
+    ones = jnp.ones_like(x)
+    out = [SH_C0 * ones]
+    if degree >= 1:
+        out += [-SH_C1 * y, SH_C1 * z, -SH_C1 * x]
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        out += [
+            SH_C2[0] * xy,
+            SH_C2[1] * yz,
+            SH_C2[2] * (2.0 * zz - xx - yy),
+            SH_C2[3] * xz,
+            SH_C2[4] * (xx - yy),
+        ]
+    if degree >= 3:
+        out += [
+            SH_C3[0] * y * (3.0 * xx - yy),
+            SH_C3[1] * xy * z,
+            SH_C3[2] * y * (4.0 * zz - xx - yy),
+            SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            SH_C3[4] * x * (4.0 * zz - xx - yy),
+            SH_C3[5] * z * (xx - yy),
+            SH_C3[6] * x * (xx - 3.0 * yy),
+        ]
+    if degree >= 4:
+        out += [
+            SH_C4[0] * xy * (xx - yy),
+            SH_C4[1] * yz * (3.0 * xx - yy),
+            SH_C4[2] * xy * (7.0 * zz - 1.0),
+            SH_C4[3] * yz * (7.0 * zz - 3.0),
+            SH_C4[4] * (zz * (35.0 * zz - 30.0) + 3.0),
+            SH_C4[5] * xz * (7.0 * zz - 3.0),
+            SH_C4[6] * (xx - yy) * (7.0 * zz - 1.0),
+            SH_C4[7] * xz * (xx - 3.0 * yy),
+            SH_C4[8] * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy)),
+        ]
+    if degree > 4:
+        raise ValueError(f"sh degree {degree} > 4 unsupported")
+    return jnp.stack(out, axis=-1)
+
+
+def eval_sh(coeffs: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
+    """SH coefficients (..., c, d_sh) + unit directions (..., 3) -> colors (..., c).
+
+    Applies the 3DGS +0.5 offset and clamp-to-zero.
+    """
+    d_sh = coeffs.shape[-1]
+    degree = int(round(d_sh**0.5)) - 1
+    basis = eval_sh_basis(directions, degree)
+    color = jnp.einsum("...cd,...d->...c", coeffs, basis) + 0.5
+    return jnp.maximum(color, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# SH rotation via the Ivanic–Ruedenberg recurrence.
+#
+# Reference math: J. Ivanic and K. Ruedenberg, "Rotation Matrices for Real
+# Spherical Harmonics", J. Phys. Chem. 1996 (+ 1998 erratum). The recurrence
+# builds the (2l+1)x(2l+1) rotation acting on degree-l real SH coefficient
+# vectors from the degree-(l-1) one and the 3x3 rotation.
+# ---------------------------------------------------------------------------
+
+
+def _r1_from_matrix(R: jnp.ndarray) -> jnp.ndarray:
+    """Degree-1 SH rotation in basis order (m=-1,0,1) ~ (y, z, x).
+
+    Permutation of the cartesian rotation matrix: with P mapping
+    (x,y,z) -> (y,z,x), r1 = P R P^T.
+    """
+    # rows/cols ordered [y, z, x] -> indices [1, 2, 0]
+    idx = jnp.array([1, 2, 0])
+    return R[..., idx[:, None], idx[None, :]]
+
+
+def _ivanic_uvw(l: int):
+    """Static u, v, w coefficient tables for degree l (shape (2l+1, 2l+1))."""
+    import numpy as np
+
+    m = np.arange(-l, l + 1)
+    m1, m2 = np.meshgrid(m, m, indexing="ij")  # m1 = row (target m), m2 = col
+    delta = (m1 == 0).astype(np.float64)
+    abs_m1 = np.abs(m1)
+    denom = np.where(np.abs(m2) < l, (l + m2) * (l - m2), (2 * l) * (2 * l - 1))
+    u = np.sqrt((l + m1) * (l - m1) / denom)
+    v = 0.5 * np.sqrt(
+        (1 + delta) * (l + abs_m1 - 1) * (l + abs_m1) / denom
+    ) * (1 - 2 * delta)
+    w = -0.5 * np.sqrt((l - abs_m1 - 1) * (l - abs_m1) / denom) * (1 - delta)
+    return u, v, w
+
+
+def _P(i: int, m1, m2, l: int, r1: jnp.ndarray, r_prev: jnp.ndarray) -> jnp.ndarray:
+    """Helper P_i^{m1,m2} of the recurrence (batched over r matrices).
+
+    r1: (..., 3, 3) degree-1 rotation (order y,z,x → indices m=-1,0,1).
+    r_prev: (..., 2l-1, 2l-1) degree-(l-1) rotation.
+    Index helpers: r1[i+1, j+1] with i,j in {-1,0,1};
+    r_prev[m+l-1, n+l-1] with m,n in {-(l-1)..(l-1)}.
+    """
+    def R1(a, b):
+        return r1[..., a + 1, b + 1]
+
+    def Rp(a, b):
+        return r_prev[..., a + l - 1, b + l - 1]
+
+    if m2 == l:
+        return R1(i, 1) * Rp(m1, l - 1) - R1(i, -1) * Rp(m1, -(l - 1))
+    elif m2 == -l:
+        return R1(i, 1) * Rp(m1, -(l - 1)) + R1(i, -1) * Rp(m1, l - 1)
+    else:
+        return R1(i, 0) * Rp(m1, m2)
+
+
+def _sh_rotation_matrix_l(l: int, r1: jnp.ndarray, r_prev: jnp.ndarray) -> jnp.ndarray:
+    """Degree-l SH rotation (..., 2l+1, 2l+1) from degree-1 and degree-(l-1)."""
+    u_t, v_t, w_t = _ivanic_uvw(l)
+    rows = []
+    for m1 in range(-l, l + 1):
+        cols = []
+        for m2 in range(-l, l + 1):
+            u, v, w = u_t[m1 + l, m2 + l], v_t[m1 + l, m2 + l], w_t[m1 + l, m2 + l]
+            term = 0.0
+            if u != 0.0:
+                if abs(m1) <= l - 1:
+                    term = term + u * _P(0, m1, m2, l, r1, r_prev)
+            if v != 0.0:
+                if m1 == 0:
+                    V = _P(1, 1, m2, l, r1, r_prev) + _P(-1, -1, m2, l, r1, r_prev)
+                elif m1 > 0:
+                    if m1 == 1:
+                        V = _P(1, 0, m2, l, r1, r_prev) * jnp.sqrt(2.0)
+                    else:
+                        V = _P(1, m1 - 1, m2, l, r1, r_prev) - _P(-1, -m1 + 1, m2, l, r1, r_prev)
+                else:
+                    if m1 == -1:
+                        V = _P(-1, 0, m2, l, r1, r_prev) * jnp.sqrt(2.0)
+                    else:
+                        V = _P(1, m1 + 1, m2, l, r1, r_prev) + _P(-1, -m1 - 1, m2, l, r1, r_prev)
+                term = term + v * V
+            if w != 0.0:
+                if m1 > 0:
+                    W = _P(1, m1 + 1, m2, l, r1, r_prev) + _P(-1, -m1 - 1, m2, l, r1, r_prev)
+                else:  # m1 < 0 (w == 0 when m1 == 0)
+                    W = _P(1, m1 - 1, m2, l, r1, r_prev) - _P(-1, -m1 + 1, m2, l, r1, r_prev)
+                term = term + w * W
+            cols.append(term)
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def sh_rotation_matrices(R: jnp.ndarray, degree: int) -> list[jnp.ndarray]:
+    """Per-degree rotation matrices [(..., 2l+1, 2l+1) for l in 0..degree].
+
+    Note on convention: in the 3DGS basis the degree-1 block carries signs
+    (-y, z, -x); the sign flips cancel pairwise inside the recurrence, so
+    the Ivanic matrices (built in the plain (y, z, x) basis) apply to the
+    3DGS-ordered coefficients directly for odd sign pairs — verified by the
+    round-trip property eval(rotate(c, R), d) == eval(c, R^T d) in tests.
+    """
+    batch_shape = R.shape[:-2]
+    mats = [jnp.ones((*batch_shape, 1, 1), dtype=R.dtype)]
+    if degree == 0:
+        return mats
+    r1 = _r1_from_matrix(R)
+    # In the signed 3DGS basis, coefficients are in basis (-y, z, -x); the
+    # conjugation S r1 S with S = diag(-1, 1, -1) flips the sign structure.
+    S = jnp.array([-1.0, 1.0, -1.0], dtype=R.dtype)
+    r1_signed = r1 * S[:, None] * S[None, :]
+    mats.append(r1_signed)
+    r_prev = r1_signed
+    for l in range(2, degree + 1):
+        r_l = _sh_rotation_matrix_l(l, r1_signed, r_prev)
+        mats.append(r_l)
+        r_prev = r_l
+    return mats
+
+
+def rotate_sh(coeffs: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """Rotate SH coefficient vectors (..., d_sh) by rotations R (..., 3, 3).
+
+    Functional parity with reference rotate_sh (misc/sh_rotation.py:10-29):
+    a function f(d) = Σ c_i Y_i(d) rotated so that f'(d) = f(R^T d).
+    """
+    d_sh = coeffs.shape[-1]
+    degree = int(round(d_sh**0.5)) - 1
+    mats = sh_rotation_matrices(R, degree)
+    out = []
+    for l, m in enumerate(mats):
+        block = coeffs[..., l * l : (l + 1) * (l + 1)]
+        out.append(jnp.einsum("...ij,...j->...i", m, block))
+    return jnp.concatenate(out, axis=-1)

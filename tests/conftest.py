@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU mesh so sharding tests
+run anywhere (the driver separately dry-runs multi-chip via __graft_entry__)."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+# The env var alone is not honored when a TPU platform plugin (axon) is
+# installed; the config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices for sharding tests"
