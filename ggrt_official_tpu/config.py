@@ -1,0 +1,205 @@
+"""Unified configuration tree (dataclasses).
+
+Replaces the reference's three overlapping systems (SURVEY.md §5.6):
+hydra yaml (configs/*.yaml), configargparse (ggrt/config.py) and the
+global_cfg singleton. Defaults reproduce configs/pretrain_ggrt_stable.yaml
+and configs/pixelsplat/encoder/epipolar.yaml; YAML/CLI overlays are applied
+with `load_config` / `apply_overrides`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class ImageSelfAttentionCfg:
+    patch_size: int = 4
+    num_octaves: int = 10
+    num_layers: int = 2
+    num_heads: int = 4
+    d_token: int = 128
+    d_dot: int = 128
+    d_mlp: int = 256
+
+
+@dataclass
+class EpipolarTransformerCfg:
+    self_attention: ImageSelfAttentionCfg = field(default_factory=ImageSelfAttentionCfg)
+    num_octaves: int = 10
+    num_layers: int = 2
+    num_heads: int = 4
+    num_samples: int = 32
+    num_context_views: int = 2
+    d_dot: int = 128
+    d_mlp: int = 256
+    downscale: int = 4
+
+
+@dataclass
+class BackboneCfg:
+    name: str = "resnet"
+    model: str = "resnet50"  # dino_resnet50 shares the architecture
+    num_layers: int = 5
+    use_first_pool: bool = False
+    d_out: int = 512
+
+
+@dataclass
+class GaussianAdapterCfg:
+    gaussian_scale_min: float = 0.5
+    gaussian_scale_max: float = 15.0
+    sh_degree: int = 4
+
+
+@dataclass
+class OpacityMappingCfg:
+    initial: float = 0.0
+    final: float = 0.0
+    warm_up: int = 1
+
+
+@dataclass
+class EncoderCfg:
+    name: str = "epipolar"
+    d_feature: int = 128
+    num_monocular_samples: int = 32
+    num_surfaces: int = 1
+    predict_opacity: bool = False
+    near_disparity: float = 3.0
+    gaussians_per_pixel: int = 3
+    use_epipolar_transformer: bool = True
+    use_transmittance: bool = False
+    apply_bounds_shim: bool = True
+    backbone: BackboneCfg = field(default_factory=BackboneCfg)
+    gaussian_adapter: GaussianAdapterCfg = field(default_factory=GaussianAdapterCfg)
+    epipolar_transformer: EpipolarTransformerCfg = field(default_factory=EpipolarTransformerCfg)
+    opacity_mapping: OpacityMappingCfg = field(default_factory=OpacityMappingCfg)
+
+
+@dataclass
+class DecoderCfg:
+    name: str = "splatting"
+    backend: str = "pallas"  # pallas | tiled | reference
+    max_dup: int = 32
+    max_per_tile: int = 1024
+    tile_chunk: int = 16
+
+
+@dataclass
+class IPONetCfg:
+    iters: int = 12           # total GRU steps (outer x seq_len)
+    seq_len: int = 4
+    foutput_dim: int = 128
+    feat_ratio: int = 8
+    hidden_dim: int = 128
+    context_dim: int = 32
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+
+
+@dataclass
+class OptimizerCfg:
+    lr: float = 1.5e-4
+    warm_up_steps: int = 2000
+
+
+@dataclass
+class TrainCfg:
+    expname: str = "pretrain_llff"
+    rootdir: str = "data/ibrnet/train"
+    seed: int = 3407
+    ckpt_path: Optional[str] = None
+
+    train_dataset: str = "llff+ibrnet_collected"
+    train_scenes: tuple = ()
+    dataset_weights: tuple = (0.5, 0.5)
+    eval_dataset: str = "llff_test"
+    eval_scenes: tuple = ("trex", "fern", "flower", "leaves", "room", "fortress", "horns", "orchids")
+    num_source_views: int = 5
+    selection_rule: str = "pose"
+    llffhold: int = 8
+    testskip: int = 8
+
+    n_iters: int = 6000
+    lrate_pose: float = 2e-5
+    lrate_decay_pose_steps: int = 50000
+    lrate_decay_factor: float = 0.5
+    use_pred_pose: bool = True
+    use_depth_loss: bool = True
+    optimizer: OptimizerCfg = field(default_factory=OptimizerCfg)
+
+    # finetune-specific
+    crop_size: int = 2  # deferred-BP grid is crop_size x crop_size
+
+    no_load_opt: bool = True
+    no_load_scheduler: bool = True
+    n_tensorboard: int = 2
+    n_checkpoint: int = 500
+    n_validation: int = 1000
+
+    # distribution
+    data_parallel: int = 1    # device-mesh data axis (target views)
+    tile_parallel: int = 1    # device-mesh tile axis (screen tiles)
+
+
+@dataclass
+class GGRtConfig:
+    train: TrainCfg = field(default_factory=TrainCfg)
+    encoder: EncoderCfg = field(default_factory=EncoderCfg)
+    decoder: DecoderCfg = field(default_factory=DecoderCfg)
+    iponet: IPONetCfg = field(default_factory=IPONetCfg)
+
+
+def _apply(obj: Any, overrides: dict) -> Any:
+    for key, value in overrides.items():
+        head, _, rest = key.partition(".")
+        if not hasattr(obj, head):
+            raise KeyError(f"unknown config key: {head}")
+        if rest:
+            _apply(getattr(obj, head), {rest: value})
+        else:
+            current = getattr(obj, head)
+            if dataclasses.is_dataclass(current) and isinstance(value, dict):
+                _apply(current, value)
+            else:
+                setattr(obj, head, type(current)(value) if current is not None else value)
+    return obj
+
+
+def apply_overrides(cfg: GGRtConfig, overrides: dict) -> GGRtConfig:
+    """Apply {'a.b.c': v} or nested-dict overrides in place."""
+    return _apply(cfg, overrides)
+
+
+def load_config(yaml_path: Optional[str] = None, overrides: Optional[dict] = None) -> GGRtConfig:
+    cfg = GGRtConfig()
+    if yaml_path is not None:
+        import yaml
+
+        with open(yaml_path) as f:
+            _apply(cfg, yaml.safe_load(f) or {})
+    if overrides:
+        apply_overrides(cfg, overrides)
+    return cfg
+
+
+def pretrain_config(**overrides) -> GGRtConfig:
+    """configs/pretrain_ggrt_stable.yaml equivalents (the dataclass defaults)."""
+    return apply_overrides(GGRtConfig(), overrides)
+
+
+def finetune_config(**overrides) -> GGRtConfig:
+    """configs/finetune_ggrt_stable.yaml equivalents."""
+    cfg = GGRtConfig()
+    cfg.train.expname = "finetune_dgaussian_stable"
+    cfg.train.train_dataset = "llff_test"
+    cfg.train.dataset_weights = (1.0,)
+    cfg.train.num_source_views = 7
+    cfg.train.n_iters = 5000
+    cfg.train.use_pred_pose = False
+    cfg.train.use_depth_loss = False
+    cfg.train.optimizer = OptimizerCfg(lr=5e-5, warm_up_steps=500)
+    cfg.train.lrate_decay_pose_steps = 2000
+    return apply_overrides(cfg, overrides)

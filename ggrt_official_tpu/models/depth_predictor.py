@@ -1,0 +1,90 @@
+"""Monocular depth PDF predictor (flax.linen).
+
+Parity targets:
+  * /root/reference/ggrt/model/pixelsplat/encoder/epipolar/depth_predictor_monocular.py
+  * .../distribution_sampler.py and misc/discrete_probability_distribution.py
+
+Features -> softmax PDF over `num_samples` relative-disparity buckets +
+per-bucket sigmoid offsets; sample `gaussians_per_pixel` buckets (inverse-
+CDF in training, top-k deterministic in eval) and map to metric depth.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..geometry.depth import relative_disparity_to_depth
+
+_EPS = float(jnp.finfo(jnp.float32).eps)
+
+
+def sample_discrete_distribution(key, pdf: jnp.ndarray, num_samples: int):
+    """Inverse-CDF sampling; returns (index, density) with shapes (..., n)."""
+    *batch, bucket = pdf.shape
+    normalized = pdf / (_EPS + jnp.sum(pdf, axis=-1, keepdims=True))
+    cdf = jnp.cumsum(normalized, axis=-1)
+    u = jax.random.uniform(key, (*batch, num_samples), dtype=pdf.dtype)
+    index = jnp.clip(
+        jnp.searchsorted(cdf, u, side="right", method="compare_all"), 0, bucket - 1
+    )
+    density = jnp.take_along_axis(normalized, index, axis=-1)
+    return index, density
+
+
+def gather_discrete_topk(pdf: jnp.ndarray, num_samples: int):
+    normalized = pdf / (_EPS + jnp.sum(pdf, axis=-1, keepdims=True))
+    _, index = jax.lax.top_k(pdf, num_samples)
+    density = jnp.take_along_axis(normalized, index, axis=-1)
+    return index, density
+
+
+class DepthPredictorMonocular(nn.Module):
+    d_in: int
+    num_samples: int
+    num_surfaces: int
+    use_transmittance: bool
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jnp.ndarray,  # (b, v, r, c)
+        near: jnp.ndarray,      # (b, v)
+        far: jnp.ndarray,       # (b, v)
+        deterministic: bool,
+        gaussians_per_pixel: int,
+        rng: jax.Array | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (depths, opacities), each (b, v, r, srf, spp)."""
+        s = self.num_samples
+        x = nn.relu(features)
+        x = nn.Dense(2 * s * self.num_surfaces, name="projection")(x)
+        # "... (dpt srf c)" with c=2 leading in reference rearrange.
+        x = x.reshape(*x.shape[:-1], 2, self.num_surfaces, s)
+        pdf = jax.nn.softmax(x[..., 0, :, :], axis=-1)       # (b, v, r, srf, s)
+        offset = jax.nn.sigmoid(x[..., 1, :, :])
+
+        if deterministic:
+            index, pdf_i = gather_discrete_topk(pdf, gaussians_per_pixel)
+        else:
+            assert rng is not None, "stochastic depth sampling needs an rng"
+            index, pdf_i = sample_discrete_distribution(rng, pdf, gaussians_per_pixel)
+
+        offset_i = jnp.take_along_axis(offset, index, axis=-1)
+        relative_disparity = (index.astype(pdf.dtype) + offset_i) / s
+        depth = relative_disparity_to_depth(
+            relative_disparity,
+            near[:, :, None, None, None],
+            far[:, :, None, None, None],
+        )
+
+        if self.use_transmittance:
+            partial = jnp.cumsum(pdf, axis=-1)
+            partial = jnp.concatenate(
+                [jnp.zeros_like(partial[..., :1]), partial[..., :-1]], axis=-1
+            )
+            opacity_all = pdf / (1.0 - partial + 1e-10)
+            opacity = jnp.take_along_axis(opacity_all, index, axis=-1)
+        else:
+            opacity = pdf_i
+        return depth, opacity

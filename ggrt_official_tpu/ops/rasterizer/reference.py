@@ -17,6 +17,7 @@ def composite_pixels(
     pg: ProjectedGaussians,
     pixel_xy: jnp.ndarray,
     background: jnp.ndarray,
+    tile_shape: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Alpha-composite all Gaussians at the given pixel centers.
 
@@ -24,6 +25,10 @@ def composite_pixels(
       pg: projected gaussians (depth-unsorted; sorted internally).
       pixel_xy: (p, 2) pixel-center coordinates.
       background: (3,).
+      tile_shape: optional (tile_h, tile_w). When given, replicates the CUDA
+        kernel's tile-granular culling: a Gaussian only contributes to pixels
+        whose tile lies inside its radius AABB (getRect semantics). Without
+        it, every Gaussian reaches every pixel (pure math oracle).
     Returns:
       (p, 3) colors.
     """
@@ -32,14 +37,31 @@ def composite_pixels(
     conic = pg.conic[order]
     color = pg.color[order]
     opacity = pg.opacity[order]
-    valid = pg.valid[order] & (pg.radius[order] > 0.0)
+    radius = pg.radius[order]
+    valid = pg.valid[order] & (radius > 0.0)
 
     d = pixel_xy[:, None, :] - mean2d[None, :, :]  # (p, g, 2)
     dx, dy = d[..., 0], d[..., 1]
+
+    if tile_shape is not None:
+        th, tw = tile_shape
+        ptx = (pixel_xy[:, 0] // tw).astype(jnp.int32)
+        pty = (pixel_xy[:, 1] // th).astype(jnp.int32)
+        gx0 = ((mean2d[:, 0] - radius) / tw).astype(jnp.int32)
+        gx1 = jnp.floor((mean2d[:, 0] + radius + tw - 1) / tw).astype(jnp.int32)
+        gy0 = ((mean2d[:, 1] - radius) / th).astype(jnp.int32)
+        gy1 = jnp.floor((mean2d[:, 1] + radius + th - 1) / th).astype(jnp.int32)
+        in_tile = (
+            (ptx[:, None] >= gx0[None, :]) & (ptx[:, None] < gx1[None, :])
+            & (pty[:, None] >= gy0[None, :]) & (pty[:, None] < gy1[None, :])
+        )
+        valid = valid[None, :] & in_tile
+    else:
+        valid = valid[None, :]
     power = -0.5 * (conic[None, :, 0] * dx * dx + conic[None, :, 2] * dy * dy) \
         - conic[None, :, 1] * dx * dy
     alpha = jnp.minimum(ALPHA_MAX, opacity[None, :] * jnp.exp(power))
-    alpha = jnp.where((power <= 0.0) & valid[None, :] & (alpha >= ALPHA_MIN), alpha, 0.0)
+    alpha = jnp.where((power <= 0.0) & valid & (alpha >= ALPHA_MIN), alpha, 0.0)
 
     one_minus = 1.0 - alpha
     T_after = jnp.cumprod(one_minus, axis=1)           # T_{i+1} per gaussian
@@ -64,6 +86,7 @@ def render_reference(
     far: jnp.ndarray,
     image_shape: tuple[int, int],
     background: jnp.ndarray,
+    tile_shape: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Render one view, (3, h, w). Single-camera; callers vmap over views."""
     h, w = image_shape
@@ -72,5 +95,5 @@ def render_reference(
     )
     ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     pixel_xy = jnp.stack([xs, ys], axis=-1).reshape(-1, 2).astype(means.dtype)
-    colors = composite_pixels(pg, pixel_xy, background)
+    colors = composite_pixels(pg, pixel_xy, background, tile_shape=tile_shape)
     return colors.reshape(h, w, 3).transpose(2, 0, 1)

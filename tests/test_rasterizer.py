@@ -1,0 +1,179 @@
+"""Rasterizer tests: tiled/pallas backends vs the O(P*G) reference oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggrt_official_tpu.geometry import se3
+from ggrt_official_tpu.ops.rasterizer import api
+from ggrt_official_tpu.ops.rasterizer import projection as rproj
+
+
+def make_scene(key, n=200, batch=1, d_sh=4, spread=1.5):
+    """Random Gaussians in front of a camera at the origin looking +z."""
+    ks = jax.random.split(key, 6)
+    means = jnp.stack(
+        [
+            jax.random.uniform(ks[0], (batch, n), minval=-spread, maxval=spread),
+            jax.random.uniform(ks[1], (batch, n), minval=-spread, maxval=spread),
+            jax.random.uniform(ks[2], (batch, n), minval=2.0, maxval=8.0),
+        ],
+        axis=-1,
+    )
+    scales = jax.random.uniform(ks[3], (batch, n, 3), minval=0.02, maxval=0.15)
+    quats = jax.random.normal(ks[4], (batch, n, 4))
+    quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    # R S S^T R^T
+    i, j, k, r = quats[..., 0], quats[..., 1], quats[..., 2], quats[..., 3]
+    two = 2.0
+    R = jnp.stack(
+        [
+            1 - two * (j * j + k * k), two * (i * j - k * r), two * (i * k + j * r),
+            two * (i * j + k * r), 1 - two * (i * i + k * k), two * (j * k - i * r),
+            two * (i * k - j * r), two * (j * k + i * r), 1 - two * (i * i + j * j),
+        ],
+        axis=-1,
+    ).reshape(batch, n, 3, 3)
+    S = scales[..., None] * jnp.eye(3)
+    cov = R @ S @ jnp.swapaxes(S, -1, -2) @ jnp.swapaxes(R, -1, -2)
+    sh = jax.random.normal(ks[5], (batch, n, 3, d_sh)) * 0.3
+    opa = jax.random.uniform(key, (batch, n), minval=0.2, maxval=0.95)
+
+    extr = jnp.broadcast_to(jnp.eye(4), (batch, 4, 4))
+    intr = jnp.broadcast_to(
+        jnp.array([[1.2, 0.0, 0.5], [0.0, 1.2, 0.5], [0.0, 0.0, 1.0]]), (batch, 3, 3)
+    )
+    near = jnp.full((batch,), 1.0)
+    far = jnp.full((batch,), 20.0)
+    bg = jnp.zeros((batch, 3))
+    return dict(
+        extrinsics=extr, intrinsics=intr, near=near, far=far, background=bg,
+        means=means, covariances=cov, sh_coeffs=sh, opacities=opa,
+    )
+
+
+SHAPE = (24, 32)
+
+
+def render_with(scene, backend, **kw):
+    return api.render(
+        scene["extrinsics"], scene["intrinsics"], scene["near"], scene["far"],
+        SHAPE, scene["background"], scene["means"], scene["covariances"],
+        scene["sh_coeffs"], scene["opacities"], backend=backend, **kw,
+    )
+
+
+class TestForwardParity:
+    def test_tiled_matches_reference(self):
+        scene = make_scene(jax.random.PRNGKey(0))
+        ref = render_with(scene, "reference")
+        tiled = render_with(scene, "tiled", max_per_tile=256)
+        assert ref.shape == (1, 3, *SHAPE)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=1e-5, rtol=1e-4)
+
+    def test_nonzero_and_background(self):
+        scene = make_scene(jax.random.PRNGKey(1), n=20)
+        scene["background"] = jnp.full((1, 3), 0.7)
+        img = render_with(scene, "tiled", max_per_tile=64)
+        img = np.asarray(img)
+        assert img.std() > 1e-3  # gaussians rendered
+        # Corner pixels far from all gaussians should be ~background.
+        assert abs(img[0, 0, 0, 0] - 0.7) < 0.3
+
+    def test_occlusion_order(self):
+        # An opaque red gaussian at z=2 must occlude a green one at z=4.
+        base = make_scene(jax.random.PRNGKey(2), n=2)
+        means = jnp.array([[[0.0, 0.0, 2.0], [0.0, 0.0, 4.0]]])
+        cov = jnp.broadcast_to(jnp.eye(3) * 0.04, (1, 2, 3, 3))
+        # SH DC for pure colors: color = C0*sh + 0.5 -> sh = (c - 0.5)/C0
+        c0 = 0.28209479177387814
+        sh = jnp.array(
+            [[[[ (1.0 - 0.5) / c0], [(0.0 - 0.5) / c0], [(0.0 - 0.5) / c0]],
+              [[ (0.0 - 0.5) / c0], [(1.0 - 0.5) / c0], [(0.0 - 0.5) / c0]]]]
+        )
+        opa = jnp.array([[0.99, 0.99]])
+        for backend in ("reference", "tiled"):
+            img = api.render(
+                base["extrinsics"], base["intrinsics"], base["near"], base["far"],
+                SHAPE, base["background"], means, cov, sh, opa, backend=backend,
+            )
+            center = np.asarray(img[0, :, SHAPE[0] // 2, SHAPE[1] // 2])
+            assert center[0] > 0.8, f"{backend}: red not dominant: {center}"
+            assert center[1] < 0.2, f"{backend}: green leaked: {center}"
+
+    def test_tile_cap_behavior(self):
+        # Cap >= occupancy: exact parity. Cap < occupancy: drops the
+        # *farthest* (most-occluded) gaussians tile-globally — mean error
+        # stays small and output stays finite, but individual pixels whose
+        # only cover was far gaussians may differ (fundamental static-cap
+        # recall tradeoff, SURVEY.md §7.3 #1).
+        scene = make_scene(jax.random.PRNGKey(3), n=300)
+        scene["opacities"] = jnp.clip(scene["opacities"] + 0.5, 0, 0.99)
+        ref = render_with(scene, "reference")
+        exact = render_with(scene, "tiled", max_per_tile=512)
+        np.testing.assert_allclose(np.asarray(exact), np.asarray(ref), atol=1e-5, rtol=1e-4)
+
+        truncated = render_with(scene, "tiled", max_per_tile=128)
+        assert np.isfinite(np.asarray(truncated)).all()
+        mean_err = np.abs(np.asarray(truncated) - np.asarray(ref)).mean()
+        assert mean_err < 0.03, f"cap-truncation mean error too large: {mean_err}"
+
+
+class TestGradients:
+    def test_grads_match_reference(self):
+        scene = make_scene(jax.random.PRNGKey(4), n=60)
+        target = render_with(scene, "reference") * 0.0 + 0.3
+
+        def loss_fn(backend):
+            def f(means, cov, sh, opa, extr):
+                img = api.render(
+                    extr, scene["intrinsics"], scene["near"], scene["far"],
+                    SHAPE, scene["background"], means, cov, sh, opa,
+                    backend=backend, max_per_tile=128,
+                )
+                return jnp.mean((img - target) ** 2)
+            return f
+
+        args = (
+            scene["means"], scene["covariances"], scene["sh_coeffs"],
+            scene["opacities"], scene["extrinsics"],
+        )
+        g_ref = jax.grad(loss_fn("reference"), argnums=(0, 1, 2, 3, 4))(*args)
+        g_tiled = jax.grad(loss_fn("tiled"), argnums=(0, 1, 2, 3, 4))(*args)
+        names = ["means", "cov", "sh", "opacity", "extrinsics"]
+        for name, a, b in zip(names, g_ref, g_tiled):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(a).all() and np.isfinite(b).all(), name
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(b / scale, a / scale, atol=2e-4, err_msg=name)
+
+    def test_pose_gradient_nonzero(self):
+        scene = make_scene(jax.random.PRNGKey(5), n=40)
+
+        def f(pose_vec):
+            extr = (se3.se3_exp(pose_vec)[None] @ scene["extrinsics"])
+            img = api.render(
+                extr, scene["intrinsics"], scene["near"], scene["far"],
+                SHAPE, scene["background"], scene["means"], scene["covariances"],
+                scene["sh_coeffs"], scene["opacities"], backend="tiled", max_per_tile=128,
+            )
+            return jnp.mean(img**2)
+
+        g = jax.grad(f)(jnp.zeros(6))
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 1e-6
+
+
+class TestDepthRendering:
+    def test_depth_of_single_gaussian(self):
+        base = make_scene(jax.random.PRNGKey(6), n=1)
+        means = jnp.array([[[0.0, 0.0, 3.0]]])
+        cov = jnp.broadcast_to(jnp.eye(3) * 0.05, (1, 1, 3, 3))
+        opa = jnp.array([[0.99]])
+        d = api.render_depth(
+            base["extrinsics"], base["intrinsics"], base["near"], base["far"],
+            SHAPE, means, cov, opa, backend="tiled", max_per_tile=32,
+        )
+        center = float(d[0, SHAPE[0] // 2, SHAPE[1] // 2])
+        # Center depth ~ 3 * alpha-coverage (single splat, black background).
+        assert 2.0 < center < 3.1, center
