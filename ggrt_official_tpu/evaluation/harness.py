@@ -1,0 +1,121 @@
+"""Evaluation protocol (eval/eval_ggrt.py equivalent).
+
+Per test view: run IPO-Net to correct poses, ATE-align against GT and
+record R/t errors; render the target with the Gaussian model; compute
+PSNR/SSIM (and LPIPS when available); aggregate per-scene means and write
+a results file (parity with eval/eval_ggrt.py:194-503).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GGRtConfig
+from ..data.shims import get_data_shim
+from ..geometry.se3 import relative_to_source_c2w
+from ..models.ggrt import GGRtModel
+from . import metrics
+
+
+class Evaluator:
+    def __init__(self, cfg: GGRtConfig, params):
+        self.cfg = cfg
+        self.model = GGRtModel(cfg)
+        self.params = params
+        self.data_shim = get_data_shim(cfg.encoder)
+        self._render = jax.jit(self._render_impl)
+        self._pose = jax.jit(self._pose_impl)
+
+    def _pose_impl(self, params, rgb, src_rgbs, camera, src_cameras, min_d, max_d):
+        inv_depths, rel_poses, _, _ = self.model.apply(
+            params, rgb, src_rgbs, camera, src_cameras, min_d, max_d,
+            compute_sfm_loss=False, method="iponet",
+        )
+        return inv_depths[-1], rel_poses
+
+    def _render_impl(self, params, batch):
+        ret, gt = self.model.apply(
+            params, batch, 0, deterministic=True, method="gaussian_forward"
+        )
+        return ret, gt
+
+    def evaluate_view(self, batch_raw: dict, use_pred_pose: bool = True) -> dict:
+        batch = dict(batch_raw)
+        shimmed = self.data_shim({"context": batch["context"], "target": batch["target"]})
+        batch["context"], batch["target"] = shimmed["context"], shimmed["target"]
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if isinstance(x, (np.ndarray, np.generic)) else x, batch
+        )
+        min_d, max_d = batch["depth_range"][0, 0], batch["depth_range"][0, 1]
+
+        t0 = time.perf_counter()
+        inv_depth, rel_poses = self._pose(
+            self.params, batch["rgb"], batch["src_rgbs"],
+            batch["camera"], batch["src_cameras"], min_d, max_d,
+        )
+        # Pose errors: predicted source c2w vs dataset extrinsics.
+        target_pose = batch["camera"][0, -16:].reshape(4, 4)
+        nv = batch["src_cameras"].shape[1]
+        pred_c2w = relative_to_source_c2w(
+            jnp.broadcast_to(target_pose, (nv, 4, 4)), rel_poses[:, -1, :]
+        )
+        gt_c2w = batch["context"]["extrinsics"][0]
+        pose_err = metrics.evaluate_pose_errors(pred_c2w, gt_c2w)
+
+        if use_pred_pose:
+            new_context = dict(batch["context"])
+            new_context["extrinsics"] = pred_c2w[None]
+            batch = {**batch, "context": new_context}
+
+        ret, gt = self._render(self.params, batch)
+        jax.block_until_ready(ret["rgb"])
+        dt = time.perf_counter() - t0
+
+        pred = ret["rgb"][0, 0]
+        gt_img = gt["rgb"][0, 0]
+        out = {
+            "psnr": float(metrics.psnr(pred, gt_img)),
+            "ssim": float(metrics.ssim(pred, gt_img)),
+            "seconds": dt,
+            "pred": np.asarray(pred),
+            "gt": np.asarray(gt_img),
+            "depth": None if ret["depth"] is None else np.asarray(ret["depth"][0, 0]),
+            **{k: float(v) for k, v in pose_err.items()},
+        }
+        lp = metrics.lpips(out["pred"], out["gt"])
+        if lp is not None:
+            out["lpips"] = lp
+        return out
+
+    def evaluate_dataset(self, dataset, out_dir: Optional[str] = None, limit: Optional[int] = None) -> dict:
+        from ..data.datasets import collate_batch
+
+        rows = []
+        n = len(dataset) if limit is None else min(limit, len(dataset))
+        for i in range(n):
+            row = self.evaluate_view(collate_batch(dataset[i]))
+            rows.append({k: v for k, v in row.items() if not isinstance(v, np.ndarray) and v is not None})
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+                try:
+                    import imageio.v2 as imageio
+
+                    img8 = (np.clip(row["pred"].transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8)
+                    imageio.imwrite(os.path.join(out_dir, f"pred_{i:04d}.png"), img8)
+                except Exception:
+                    pass
+
+        summary = {}
+        for key in rows[0]:
+            summary[key] = float(np.mean([r[key] for r in rows]))
+        summary["n_views"] = n
+        if out_dir:
+            with open(os.path.join(out_dir, "results.json"), "w") as f:
+                json.dump({"summary": summary, "per_view": rows}, f, indent=2)
+        return summary

@@ -1,0 +1,51 @@
+"""Evaluation metrics (pure jnp).
+
+Parity targets: utils_loc.py img2mse/img2psnr, ggrt/loss/ssim_torch.py, and
+the pose-error protocol of eval/eval_ggrt.py:277-282. LPIPS requires
+pretrained AlexNet features; `lpips` returns None unless torch+lpips are
+importable on the host (it is an eval-only metric, never in the train path).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.alignment import align_ate_c2b_use_a2b, evaluate_camera_alignment
+from ..ops.ssim import ssim_metric
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    mse = jnp.mean((pred - gt) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+
+def ssim(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """pred/gt: (3, h, w) or (b, 3, h, w)."""
+    if pred.ndim == 3:
+        pred, gt = pred[None], gt[None]
+    return ssim_metric(pred, gt)
+
+
+_lpips_model = None
+
+
+def lpips(pred: np.ndarray, gt: np.ndarray):
+    """LPIPS(alex) via the torch package when available (eval-only)."""
+    global _lpips_model
+    try:
+        import torch
+        import lpips as lpips_pkg
+    except ImportError:
+        return None
+    if _lpips_model is None:
+        _lpips_model = lpips_pkg.LPIPS(net="alex")
+    with torch.no_grad():
+        a = torch.from_numpy(np.asarray(pred, np.float32))[None] * 2 - 1
+        b = torch.from_numpy(np.asarray(gt, np.float32))[None] * 2 - 1
+        return float(_lpips_model(a, b))
+
+
+def evaluate_pose_errors(pred_c2w: jnp.ndarray, gt_c2w: jnp.ndarray) -> dict:
+    """ATE-align predictions to GT and report R/t errors (deg / units)."""
+    aligned = align_ate_c2b_use_a2b(pred_c2w, gt_c2w)
+    return evaluate_camera_alignment(aligned, gt_c2w)

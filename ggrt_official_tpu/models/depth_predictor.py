@@ -25,9 +25,12 @@ def sample_discrete_distribution(key, pdf: jnp.ndarray, num_samples: int):
     normalized = pdf / (_EPS + jnp.sum(pdf, axis=-1, keepdims=True))
     cdf = jnp.cumsum(normalized, axis=-1)
     u = jax.random.uniform(key, (*batch, num_samples), dtype=pdf.dtype)
-    index = jnp.clip(
-        jnp.searchsorted(cdf, u, side="right", method="compare_all"), 0, bucket - 1
+    # Batched searchsorted(side='right'): count buckets whose cdf <= u.
+    # bucket is small (32), so the dense comparison is cheap and VPU-friendly.
+    index = jnp.sum(
+        (cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32), axis=-2
     )
+    index = jnp.clip(index, 0, bucket - 1)
     density = jnp.take_along_axis(normalized, index, axis=-1)
     return index, density
 

@@ -127,6 +127,8 @@ class EncoderEpipolar(nn.Module):
         feats = feats + skip
 
         feats = feats.reshape(b, v, hc * wc, cfg.d_feature)
+        if not deterministic and rng is None:
+            rng = self.make_rng("sample")
         gpp = 1 if deterministic else cfg.gaussians_per_pixel
         depths, densities = DepthPredictorMonocular(
             cfg.d_feature, cfg.num_monocular_samples, cfg.num_surfaces,

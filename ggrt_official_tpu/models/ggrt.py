@@ -1,0 +1,86 @@
+"""Composite GGRt model: IPO-Net + PixelSplat + joint loss machinery.
+
+Parity target: /root/reference/ggrt/model/dgaussian.py (DGaussianModel):
+iponet() wrapper (camera 34-vector unpacking), the pose_only/nerf_only/
+joint state machine, and the exponential-decay joint loss.
+
+In JAX the "state machine" does not toggle requires_grad; instead the
+trainer zero-masks the corresponding gradient pytrees (see
+training/trainer.py), which is the functional equivalent.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import GGRtConfig
+from ..losses.photometric import photometric_decay_loss
+from .iponet import IPONet, IPONetOutput
+from .pixelsplat import PixelSplat
+
+
+def unpack_camera(camera: jnp.ndarray):
+    """34-vector camera -> (hw, intrinsics 4x4, c2w 4x4) (ref dgaussian.py:70-71)."""
+    hw = camera[..., :2]
+    intrinsics = camera[..., 2:18].reshape(*camera.shape[:-1], 4, 4)
+    c2w = camera[..., 18:34].reshape(*camera.shape[:-1], 4, 4)
+    return hw, intrinsics, c2w
+
+
+def compose_joint_loss(sfm_loss, nerf_loss, step, coefficient: float = 1e-5):
+    """alpha * sfm + (1 - alpha) * nerf with alpha = 2^(-c*step) (ref :113-121)."""
+    alpha = 2.0 ** (-coefficient * step)
+    return alpha * sfm_loss + (1.0 - alpha) * nerf_loss
+
+
+class GGRtModel(nn.Module):
+    """Bundles the pose learner and the gaussian model as submodules so a
+    single param pytree carries both, keyed 'pose_learner' / 'gaussian'
+    exactly like the reference checkpoints (train_ggrt_stable.py:60-66)."""
+
+    cfg: GGRtConfig
+
+    def setup(self):
+        self.pose_learner = IPONet(self.cfg.iponet)
+        self.gaussian = PixelSplat(self.cfg.encoder, self.cfg.decoder)
+
+    def iponet(
+        self,
+        target_image: jnp.ndarray,   # (1, h, w, 3) — loader layout, ref parity
+        ref_imgs: jnp.ndarray,       # (1, nv, h, w, 3)
+        target_camera: jnp.ndarray,  # (1, 34)
+        ref_cameras: jnp.ndarray,    # (1, nv, 34)
+        min_depth,
+        max_depth,
+        compute_sfm_loss: bool = True,
+    ):
+        """Run IPO-Net; optionally attach the photometric SfM loss.
+
+        Returns (inv_depths, rel_poses, sfm_loss, fmap) like
+        dgaussian.py:55-87 — rel_poses (nv, n_preds, 6).
+        """
+        _, target_K4, _ = unpack_camera(target_camera)
+        _, ref_K4, _ = unpack_camera(ref_cameras[0])
+        target_K = target_K4[..., :3, :3]
+        ref_K = ref_K4[..., :3, :3]
+
+        tgt = target_image.transpose(0, 3, 1, 2)       # (1, 3, h, w)
+        refs = ref_imgs[0].transpose(0, 3, 1, 2)       # (nv, 3, h, w)
+
+        out: IPONetOutput = self.pose_learner(
+            tgt, refs, target_K, ref_K, min_depth=min_depth, max_depth=max_depth
+        )
+        sfm = None
+        if compute_sfm_loss:
+            sfm = photometric_decay_loss(
+                tgt, refs, out.inv_depths, target_K, ref_K, out.rel_poses
+            )
+        return out.inv_depths, out.rel_poses[0], sfm, out.fmap
+
+    def gaussian_forward(self, batch, global_step, **kw):
+        return self.gaussian(batch, global_step, **kw)
+
+    def __call__(self, batch, global_step, **kw):
+        """Gaussian-model forward (the common jit entry)."""
+        return self.gaussian(batch, global_step, **kw)

@@ -1,0 +1,295 @@
+"""Pallas TPU kernels for per-tile alpha compositing (fwd + custom VJP).
+
+The speed-of-light path replacing the XLA `composite.py` fallback: each
+8x128 screen tile is one grid step; the tile's K-deep Gaussian list lives
+in VMEM; pixels fill exactly one f32 VPU register tile (8 sublanes x 128
+lanes); the per-Gaussian loop runs front-to-back with CUDA-identical
+semantics (alpha clamp 0.99, skip < 1/255, transmittance early-out 1e-4 —
+see SURVEY.md §2.1 and projection.py constants).
+
+The backward kernel re-walks each tile back-to-front, reconstructing the
+transmittance from the forward's final T (division by (1-alpha), the CUDA
+trick) and accumulating dL/d{mean2d, conic, color, opacity} per Gaussian —
+all Gaussian/camera gradients then flow through JAX AD outside the kernel
+via the gather's scatter-add transpose.
+
+Record layout (t, K, 8): [mean_x, mean_y, conic_a, conic_b, conic_c,
+opacity, _, _] and colors (t, K, 4): [r, g, b, _] — padded so lane loads
+stay aligned.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS, ProjectedGaussians
+from .tiling import TILE_H, TILE_W, TileBinning
+
+
+def _pixel_coords(tile_y, tile_x, dtype):
+    py = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    x = (tile_x * TILE_W + px).astype(dtype)
+    y = (tile_y * TILE_H + py).astype(dtype)
+    return x, y
+
+
+def _fwd_kernel(ntx_ref, rec_ref, col_ref, bg_ref, out_ref, tfin_ref, ncontrib_ref):
+    t = pl.program_id(0)
+    ntx = ntx_ref[0]
+    tile_y = t // ntx
+    tile_x = t % ntx
+    K = rec_ref.shape[1]
+
+    x, y = _pixel_coords(tile_y, tile_x, rec_ref.dtype)
+
+    def body(k, carry):
+        T_run, done, acc_r, acc_g, acc_b, n_contrib = carry
+        mx = rec_ref[0, k, 0]
+        my = rec_ref[0, k, 1]
+        ca = rec_ref[0, k, 2]
+        cb = rec_ref[0, k, 3]
+        cc = rec_ref[0, k, 4]
+        op = rec_ref[0, k, 5]
+        dx = x - mx
+        dy = y - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+        alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
+
+        test = T_run * (1.0 - alpha)
+        newly_done = test < T_EPS
+        contribute = jnp.logical_not(done | newly_done) & (alpha > 0.0)
+        w = jnp.where(contribute, alpha * T_run, 0.0)
+        acc_r = acc_r + w * col_ref[0, k, 0]
+        acc_g = acc_g + w * col_ref[0, k, 1]
+        acc_b = acc_b + w * col_ref[0, k, 2]
+        T_run = jnp.where(contribute, test, T_run)
+        n_contrib = jnp.where(contribute, k + 1, n_contrib)
+        done = done | newly_done
+        return T_run, done, acc_r, acc_g, acc_b, n_contrib
+
+    shape = (TILE_H, TILE_W)
+    init = (
+        jnp.ones(shape, rec_ref.dtype),
+        jnp.zeros(shape, jnp.bool_),
+        jnp.zeros(shape, rec_ref.dtype),
+        jnp.zeros(shape, rec_ref.dtype),
+        jnp.zeros(shape, rec_ref.dtype),
+        jnp.zeros(shape, jnp.int32),
+    )
+    T_run, done, acc_r, acc_g, acc_b, n_contrib = jax.lax.fori_loop(0, K, body, init)
+
+    out_ref[0, 0] = acc_r + T_run * bg_ref[0]
+    out_ref[0, 1] = acc_g + T_run * bg_ref[1]
+    out_ref[0, 2] = acc_b + T_run * bg_ref[2]
+    tfin_ref[0] = T_run
+    ncontrib_ref[0] = n_contrib
+
+
+def _bwd_kernel(
+    ntx_ref, rec_ref, col_ref, bg_ref, tfin_ref, ncontrib_ref, gout_ref,
+    drec_ref, dcol_ref,
+):
+    t = pl.program_id(0)
+    ntx = ntx_ref[0]
+    tile_y = t // ntx
+    tile_x = t % ntx
+    K = rec_ref.shape[1]
+
+    x, y = _pixel_coords(tile_y, tile_x, rec_ref.dtype)
+    g_r = gout_ref[0, 0]
+    g_g = gout_ref[0, 1]
+    g_b = gout_ref[0, 2]
+    T_final = tfin_ref[0]
+    n_contrib = ncontrib_ref[0]
+    g_dot_bg = g_r * bg_ref[0] + g_g * bg_ref[1] + g_b * bg_ref[2]
+
+    def body(i, carry):
+        # Walk back-to-front: k = K-1-i.
+        T_next, accum = carry  # T after gaussian k (per pixel); suffix sum of (g.c_j) S_j
+        k = K - 1 - i
+        mx = rec_ref[0, k, 0]
+        my = rec_ref[0, k, 1]
+        ca = rec_ref[0, k, 2]
+        cb = rec_ref[0, k, 3]
+        cc = rec_ref[0, k, 4]
+        op = rec_ref[0, k, 5]
+        cr = col_ref[0, k, 0]
+        cg = col_ref[0, k, 1]
+        cb_col = col_ref[0, k, 2]
+
+        dx = x - mx
+        dy = y - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        G = jnp.exp(power)
+        raw_alpha = op * G
+        alpha = jnp.minimum(ALPHA_MAX, raw_alpha)
+        valid = (power <= 0.0) & (alpha >= ALPHA_MIN)
+        alpha = jnp.where(valid, alpha, 0.0)
+        live = valid & (k < n_contrib)
+
+        one_minus = jnp.where(live, 1.0 - alpha, 1.0)
+        T_i = T_next / one_minus  # transmittance before gaussian k
+        S = jnp.where(live, alpha * T_i, 0.0)
+
+        g_dot_c = g_r * cr + g_g * cg + g_b * cb_col
+        # dL/dalpha (only for live contributions).
+        dalpha = jnp.where(
+            live,
+            g_dot_c * T_i - (accum + g_dot_bg * T_final) / one_minus,
+            0.0,
+        )
+        # Chain to opacity / gaussian params; clamp at 0.99 kills the grad.
+        not_clamped = raw_alpha < ALPHA_MAX
+        dG = jnp.where(not_clamped, op * dalpha, 0.0)
+        dop_pix = jnp.where(not_clamped, G * dalpha, 0.0)
+        dpower = dG * G
+
+        dca = jnp.sum(-0.5 * dx * dx * dpower)
+        dcb = jnp.sum(-dx * dy * dpower)
+        dcc = jnp.sum(-0.5 * dy * dy * dpower)
+        dmx = jnp.sum((ca * dx + cb * dy) * dpower)
+        dmy = jnp.sum((cc * dy + cb * dx) * dpower)
+        dop = jnp.sum(dop_pix)
+
+        drec_ref[0, k, 0] = dmx
+        drec_ref[0, k, 1] = dmy
+        drec_ref[0, k, 2] = dca
+        drec_ref[0, k, 3] = dcb
+        drec_ref[0, k, 4] = dcc
+        drec_ref[0, k, 5] = dop
+        drec_ref[0, k, 6] = 0.0
+        drec_ref[0, k, 7] = 0.0
+        dcol_ref[0, k, 0] = jnp.sum(g_r * S)
+        dcol_ref[0, k, 1] = jnp.sum(g_g * S)
+        dcol_ref[0, k, 2] = jnp.sum(g_b * S)
+        dcol_ref[0, k, 3] = 0.0
+
+        accum = accum + g_dot_c * S
+        return T_i, accum
+
+    shape = (TILE_H, TILE_W)
+    jax.lax.fori_loop(0, K, body, (T_final, jnp.zeros(shape, rec_ref.dtype)))
+
+
+def _composite_fwd_raw(records, colors, background, ntx_arr, num_tiles):
+    K = records.shape[1]
+    grid = (num_tiles,)
+    out, tfin, ncontrib = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, TILE_H, TILE_W), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 3, TILE_H, TILE_W), records.dtype),
+            jax.ShapeDtypeStruct((num_tiles, TILE_H, TILE_W), records.dtype),
+            jax.ShapeDtypeStruct((num_tiles, TILE_H, TILE_W), jnp.int32),
+        ],
+    )(ntx_arr, records, colors, background)
+    return out, tfin, ncontrib
+
+
+def _composite_bwd_raw(records, colors, background, ntx_arr, tfin, ncontrib, gout, num_tiles):
+    K = records.shape[1]
+    grid = (num_tiles,)
+    drec, dcol = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TILE_H, TILE_W), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(records.shape, records.dtype),
+            jax.ShapeDtypeStruct(colors.shape, colors.dtype),
+        ],
+    )(ntx_arr, records, colors, background, tfin, ncontrib, gout)
+    return drec, dcol
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _composite_tiles_core(records, colors, background, ntx, num_tiles):
+    ntx_arr = jnp.array([ntx], jnp.int32)
+    out, _, _ = _composite_fwd_raw(records, colors, background, ntx_arr, num_tiles)
+    return out
+
+
+def _core_fwd(records, colors, background, ntx, num_tiles):
+    ntx_arr = jnp.array([ntx], jnp.int32)
+    out, tfin, ncontrib = _composite_fwd_raw(records, colors, background, ntx_arr, num_tiles)
+    return out, (records, colors, background, tfin, ncontrib)
+
+
+def _core_bwd(ntx, num_tiles, residuals, gout):
+    records, colors, background, tfin, ncontrib = residuals
+    ntx_arr = jnp.array([ntx], jnp.int32)
+    drec, dcol = _composite_bwd_raw(
+        records, colors, background, ntx_arr, tfin, ncontrib, gout, num_tiles
+    )
+    # dL/dbackground = sum over pixels of g * T_final.
+    dbg = jnp.einsum("tchw,thw->c", gout, tfin)
+    return drec, dcol, dbg
+
+
+_composite_tiles_core.defvjp(_core_fwd, _core_bwd)
+
+
+def composite_tiles_pallas(
+    pg: ProjectedGaussians,
+    binning: TileBinning,
+    background: jnp.ndarray,
+    image_shape: tuple[int, int],
+) -> jnp.ndarray:
+    """Drop-in replacement for composite.composite_tiles (Pallas backend)."""
+    h, w = image_shape
+    nty, ntx = binning.num_tiles_y, binning.num_tiles_x
+    num_tiles = nty * ntx
+    dtype = pg.mean2d.dtype
+
+    ids = binning.gaussian_ids
+    safe_ids = jnp.maximum(ids, 0)
+    present = (ids >= 0).astype(dtype)
+
+    mean2d = pg.mean2d[safe_ids]                      # (t, K, 2)
+    conic = pg.conic[safe_ids]                        # (t, K, 3)
+    color = pg.color[safe_ids]                        # (t, K, 3)
+    opacity = pg.opacity[safe_ids] * present          # (t, K)
+
+    zeros = jnp.zeros_like(opacity)
+    records = jnp.stack(
+        [
+            mean2d[..., 0], mean2d[..., 1],
+            conic[..., 0], conic[..., 1], conic[..., 2],
+            opacity, zeros, zeros,
+        ],
+        axis=-1,
+    )  # (t, K, 8)
+    colors = jnp.concatenate([color, jnp.zeros_like(color[..., :1])], axis=-1)
+
+    out = _composite_tiles_core(records, colors, background, int(ntx), int(num_tiles))
+    img = out.reshape(nty, ntx, 3, TILE_H, TILE_W)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, nty * TILE_H, ntx * TILE_W)
+    return img[:, :h, :w]

@@ -1,0 +1,301 @@
+"""Trainers: generalizable pretraining and per-scene finetune (deferred BP).
+
+Parity targets:
+  * train_ggrt_stable.py:30-195 (GGRtTrainer.train_iteration): IPO-Net fwd,
+    detached inverse-depth prior, predicted-pose injection into the context
+    extrinsics, PixelSplat fwd, rgb + self-sup-depth + sfm losses, state-
+    machine-gated optimizer steps, pose-error logging.
+  * finetune_ggrt_stable.py:81-160: deferred back-propagation — full-image
+    forward without grad, pixel-gradient image from the rgb loss, then
+    crop-by-crop re-render injecting the saved pixel gradients.
+
+JAX re-design: the whole train iteration is ONE jitted function; the
+reference's backward()/optimizer.step() sequence becomes jax.grad +
+optax updates with state-machine gradient masks. Deferred BP becomes an
+explicit sum of per-tile VJPs with the full-image forward under
+stop_gradient — the same computation/memory shape as the reference's
+.backward(rgb_pred_grad) trick.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GGRtConfig
+from ..data.shims import get_data_shim
+from ..geometry.se3 import relative_to_source_c2w
+from ..losses.criterion import img2mse, masked_l2_image_loss, mse2psnr, self_sup_depth_loss
+from ..models.ggrt import GGRtModel, compose_joint_loss
+from . import state as state_lib
+from .state import TrainState
+
+
+def _inject_predicted_poses(batch, rel_poses):
+    """Replace context extrinsics with poses derived from the predicted
+    relative poses (train_ggrt_stable.py:102-106 + projection.py:44-64)."""
+    target_pose = batch["camera"][0, -16:].reshape(4, 4)
+    nv = batch["src_cameras"].shape[1]
+    context_poses = relative_to_source_c2w(
+        jnp.broadcast_to(target_pose, (nv, 4, 4)), rel_poses[:, -1, :]
+    )
+    new_context = dict(batch["context"])
+    new_context["extrinsics"] = jax.lax.stop_gradient(context_poses[None])
+    return {**batch, "context": new_context}
+
+
+def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
+    """Single-example pretrain loss (params, batch, step, rng) -> (loss, aux).
+
+    Shared between the single-chip trainer and the data-parallel shard_map
+    step (parallel/sharded_step.py).
+    """
+    if machine_id is None:
+        machine_id = state_lib.STATE_JOINT
+
+    def loss_fn(params, batch, step, rng):
+        min_d = batch["depth_range"][0, 0]
+        max_d = batch["depth_range"][0, 1]
+        inv_depths, rel_poses, sfm, _ = model.apply(
+            params,
+            batch["rgb"], batch["src_rgbs"],
+            batch["camera"], batch["src_cameras"],
+            min_d, max_d, compute_sfm_loss=True,
+            method="iponet",
+        )
+        inv_depth_prior = jax.lax.stop_gradient(inv_depths[-1]).reshape(-1, 1)
+
+        b = batch
+        if cfg.train.use_pred_pose:
+            b = _inject_predicted_poses(batch, rel_poses)
+
+        ret, gt = model.apply(
+            params, b, step, deterministic=False, rngs={"sample": rng},
+            method="gaussian_forward",
+        )
+        coarse_loss = masked_l2_image_loss(ret, gt)
+
+        loss_depth = 0.0
+        if cfg.train.use_depth_loss:
+            rendered_depth = ret["depth"][0].transpose(1, 2, 0).reshape(-1, 1)
+            loss_depth = self_sup_depth_loss(1.0 / inv_depth_prior, rendered_depth, min_d, max_d)
+
+        mid = jnp.asarray(machine_id, jnp.int32)
+        sfm_loss = sfm["loss"]
+        loss_all = jnp.where(
+            mid == state_lib.STATE_JOINT,
+            compose_joint_loss(sfm_loss, coarse_loss, step),
+            jnp.where(
+                mid == state_lib.STATE_POSE_ONLY,
+                sfm_loss,
+                coarse_loss + jax.lax.stop_gradient(loss_depth) * 0.04,
+            ),
+        )
+        aux = {
+            "loss_all": loss_all,
+            "gaussian_loss": coarse_loss,
+            "sfm_loss": sfm_loss,
+            "psnr": mse2psnr(img2mse(ret["rgb"], gt["rgb"])),
+        }
+        return loss_all, aux
+
+    return loss_fn
+
+
+class GGRtTrainer:
+    """Generalizable training (pretrain_ggrt_stable equivalent)."""
+
+    def __init__(self, cfg: GGRtConfig, rng: jax.Array | None = None):
+        self.cfg = cfg
+        self.model = GGRtModel(cfg)
+        self.data_shim = get_data_shim(cfg.encoder)
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+        self.rng = rng
+        self.state = None
+        self._train_step = jax.jit(self._train_step_impl, static_argnames=("machine",))
+
+    # -- batch prep (host side; shapes may change) --
+    def prepare_batch(self, batch: dict) -> dict:
+        batch = {k: v for k, v in batch.items() if k not in ("rgb_path", "scaled_shape")}
+        shimmed = self.data_shim({"context": batch["context"], "target": batch["target"]})
+        batch["context"] = shimmed["context"]
+        batch["target"] = shimmed["target"]
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+
+    def init_full(self, batch: dict):
+        """Initialize the full composite model (pose learner + gaussian)."""
+        batch = self.prepare_batch(batch)
+        min_d, max_d = batch["depth_range"][0, 0], batch["depth_range"][0, 1]
+        self.rng, k1, k2 = jax.random.split(self.rng, 3)
+
+        pose_vars = self.model.init(
+            {"params": k1},
+            batch["rgb"], batch["src_rgbs"],
+            batch["camera"], batch["src_cameras"],
+            min_d, max_d, compute_sfm_loss=False,
+            method="iponet",
+        )
+        gauss_vars = self.model.init(
+            {"params": k1, "sample": k2}, batch, 0, deterministic=True,
+            method="gaussian_forward",
+        )
+        params = {
+            "params": {
+                "pose_learner": pose_vars["params"]["pose_learner"],
+                "gaussian": gauss_vars["params"]["gaussian"],
+            }
+        }
+        self.state = state_lib.create_train_state(self.cfg, params)
+        return self.state
+
+    # -- the jitted iteration --
+    def _train_step_impl(self, state: TrainState, batch: dict, rng, machine: str):
+        cfg = self.cfg
+        machine_id = jnp.asarray(state_lib.state_id(machine), jnp.int32)
+        min_d = batch["depth_range"][0, 0]
+        max_d = batch["depth_range"][0, 1]
+
+        def loss_fn(params):
+            inv_depths, rel_poses, sfm, _ = self.model.apply(
+                params,
+                batch["rgb"], batch["src_rgbs"],
+                batch["camera"], batch["src_cameras"],
+                min_d, max_d, compute_sfm_loss=True,
+                method="iponet",
+            )
+            inv_depth_prior = jax.lax.stop_gradient(inv_depths[-1]).reshape(-1, 1)
+
+            b = batch
+            if cfg.train.use_pred_pose:
+                b = _inject_predicted_poses(batch, rel_poses)
+
+            ret, gt = self.model.apply(
+                params, b, state.step, deterministic=False,
+                rngs={"sample": rng},
+                method="gaussian_forward",
+            )
+            coarse_loss = masked_l2_image_loss(ret, gt)
+
+            loss_depth = 0.0
+            if cfg.train.use_depth_loss:
+                rendered_depth = ret["depth"][0].transpose(1, 2, 0).reshape(-1, 1)
+                loss_depth = self_sup_depth_loss(
+                    1.0 / inv_depth_prior, rendered_depth, min_d, max_d
+                )
+
+            sfm_loss = sfm["loss"]
+            loss_all = jnp.where(
+                machine_id == state_lib.STATE_JOINT,
+                compose_joint_loss(sfm_loss, coarse_loss, state.step),
+                jnp.where(
+                    machine_id == state_lib.STATE_POSE_ONLY,
+                    sfm_loss,
+                    coarse_loss + jax.lax.stop_gradient(loss_depth) * 0.04,
+                ),
+            )
+            aux = {
+                "loss_all": loss_all,
+                "gaussian_loss": coarse_loss,
+                "sfm_loss": sfm_loss,
+                "depth_loss": loss_depth,
+                "psnr": mse2psnr(img2mse(ret["rgb"], gt["rgb"])),
+                "rel_poses": rel_poses,
+            }
+            return loss_all, aux
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state_lib.apply_updates(cfg, state, grads, machine_id)
+        return new_state, aux
+
+    def train_iteration(self, batch: dict, machine: str = "joint"):
+        batch = self.prepare_batch(batch)
+        if self.state is None:
+            raise RuntimeError("call init_full(batch) first")
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.state, aux = self._train_step(self.state, batch, step_rng, machine)
+        return {k: v for k, v in aux.items()}
+
+
+class GGRtFinetuneTrainer(GGRtTrainer):
+    """Per-scene finetune with crop-tiled deferred back-propagation."""
+
+    def __init__(self, cfg: GGRtConfig, rng: jax.Array | None = None):
+        super().__init__(cfg, rng)
+        self._train_step = jax.jit(self._finetune_step_impl, static_argnames=("machine",))
+
+    def _finetune_step_impl(self, state: TrainState, batch: dict, rng, machine: str):
+        cfg = self.cfg
+        machine_id = jnp.asarray(state_lib.state_id(machine), jnp.int32)
+        min_d = batch["depth_range"][0, 0]
+        max_d = batch["depth_range"][0, 1]
+        crop_size = cfg.train.crop_size
+        _, _, _, h, w = batch["target"]["image"].shape
+        out_h, out_w = h // crop_size, w // crop_size
+
+        # ---- IPO-Net branch (normal AD) ----
+        def pose_loss_fn(params):
+            inv_depths, rel_poses, sfm, _ = self.model.apply(
+                params, batch["rgb"], batch["src_rgbs"],
+                batch["camera"], batch["src_cameras"],
+                min_d, max_d, compute_sfm_loss=True,
+                method="iponet",
+            )
+            return sfm["loss"], rel_poses
+
+        pose_grads, rel_poses = jax.grad(pose_loss_fn, has_aux=True)(state.params)
+
+        b = batch
+        if cfg.train.use_pred_pose:
+            b = _inject_predicted_poses(batch, rel_poses)
+
+        # ---- Deferred BP for the gaussian branch ----
+        # 1. Full-image forward without grad; pixel-gradient image.
+        ret_full, gt = self.model.apply(
+            jax.lax.stop_gradient(state.params), b, state.step,
+            deterministic=False, rngs={"sample": rng},
+            method="gaussian_forward",
+        )
+        rgb_full = ret_full["rgb"]
+        rgb_grad = jax.grad(lambda x: masked_l2_image_loss({"rgb": x}, gt))(rgb_full)
+
+        # 2. Per-tile re-render with gradient, injecting the pixel grads.
+        def tile_render(params, i, j, tile_rng):
+            ret_p, _ = self.model.apply(
+                params, b, state.step, crop=(i, j, crop_size),
+                deterministic=False, rngs={"sample": tile_rng},
+                method="gaussian_forward",
+            )
+            return ret_p["rgb"][:, :, :, out_h * i : out_h * (i + 1), out_w * j : out_w * (j + 1)]
+
+        gauss_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        tile_rngs = jax.random.split(rng, crop_size * crop_size)
+        for i in range(crop_size):
+            for j in range(crop_size):
+                cot = rgb_grad[:, :, :, out_h * i : out_h * (i + 1), out_w * j : out_w * (j + 1)]
+                _, vjp_fn = jax.vjp(
+                    lambda p: tile_render(p, i, j, tile_rngs[i * crop_size + j]),
+                    state.params,
+                )
+                (g,) = vjp_fn(cot)
+                gauss_grads = jax.tree_util.tree_map(jnp.add, gauss_grads, g)
+
+        # Merge: pose grads from the sfm loss, gaussian grads from deferred BP.
+        def merge(path_pose, path_gauss):
+            return {
+                "params": {
+                    "pose_learner": path_pose["params"]["pose_learner"],
+                    "gaussian": path_gauss["params"]["gaussian"],
+                }
+            }
+
+        grads = merge(pose_grads, gauss_grads)
+        new_state = state_lib.apply_updates(cfg, state, grads, machine_id)
+        aux = {
+            "loss_all": img2mse(rgb_full, gt["rgb"]),
+            "psnr": mse2psnr(img2mse(rgb_full, gt["rgb"])),
+            "rel_poses": rel_poses,
+        }
+        return new_state, aux

@@ -15,6 +15,9 @@ import jax  # noqa: E402  (import after env setup)
 # installed; the config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: repeated pytest runs skip recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices for sharding tests"
