@@ -48,6 +48,8 @@ def _fwd_kernel(ntx_ref, rec_ref, col_ref, bg_ref, out_ref, tfin_ref, ncontrib_r
     x, y = _pixel_coords(tile_y, tile_x, rec_ref.dtype)
 
     def body(k, carry):
+        # `done` is a float 0/1 mask: Mosaic cannot legalize i1-vector loop
+        # carries (scf.for legalization failure), floats work everywhere.
         T_run, done, acc_r, acc_g, acc_b, n_contrib = carry
         mx = rec_ref[0, k, 0]
         my = rec_ref[0, k, 1]
@@ -62,21 +64,21 @@ def _fwd_kernel(ntx_ref, rec_ref, col_ref, bg_ref, out_ref, tfin_ref, ncontrib_r
         alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
 
         test = T_run * (1.0 - alpha)
-        newly_done = test < T_EPS
-        contribute = jnp.logical_not(done | newly_done) & (alpha > 0.0)
-        w = jnp.where(contribute, alpha * T_run, 0.0)
+        newly_done = (test < T_EPS).astype(T_run.dtype)
+        contribute = (1.0 - jnp.maximum(done, newly_done)) * (alpha > 0.0).astype(T_run.dtype)
+        w = contribute * alpha * T_run
         acc_r = acc_r + w * col_ref[0, k, 0]
         acc_g = acc_g + w * col_ref[0, k, 1]
         acc_b = acc_b + w * col_ref[0, k, 2]
-        T_run = jnp.where(contribute, test, T_run)
-        n_contrib = jnp.where(contribute, k + 1, n_contrib)
-        done = done | newly_done
+        T_run = jnp.where(contribute > 0, test, T_run)
+        n_contrib = jnp.where(contribute > 0, k + 1, n_contrib)
+        done = jnp.maximum(done, newly_done)
         return T_run, done, acc_r, acc_g, acc_b, n_contrib
 
     shape = (TILE_H, TILE_W)
     init = (
         jnp.ones(shape, rec_ref.dtype),
-        jnp.zeros(shape, jnp.bool_),
+        jnp.zeros(shape, rec_ref.dtype),
         jnp.zeros(shape, rec_ref.dtype),
         jnp.zeros(shape, rec_ref.dtype),
         jnp.zeros(shape, rec_ref.dtype),

@@ -121,20 +121,23 @@ def project_gaussians(
     tx = txtz * tz
     ty = tytz * tz
 
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x / tz, zero, -(focal_x * tx) / (tz * tz)], axis=-1),
-            jnp.stack([zero, focal_y / tz, -(focal_y * ty) / (tz * tz)], axis=-1),
-        ],
-        axis=-2,
-    )  # (g, 2, 3)
+    # cov2d = (J W) Σ (J W)ᵀ expanded to elementwise ops: J's sparsity
+    # (2x3 with 4 nonzeros) makes the batched-GEMM formulation pathological
+    # on TPU (860k tiny matmuls); the explicit form is pure VPU arithmetic.
     W3 = view[:3, :3]
-    JW = jnp.einsum("gij,jk->gik", J, W3)  # (g, 2, 3)
-    cov2d = jnp.einsum("gij,gjk,glk->gil", JW, covariances, JW)  # (g, 2, 2)
-    a = cov2d[..., 0, 0] + LOWPASS
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + LOWPASS
+    j0 = focal_x / tz
+    j2x = -(focal_x * tx) / (tz * tz)
+    j1 = focal_y / tz
+    j2y = -(focal_y * ty) / (tz * tz)
+    # Rows of M = J @ W: m0 = j0*W[0] + j2x*W[2]; m1 = j1*W[1] + j2y*W[2].
+    m0 = j0[:, None] * W3[0][None, :] + j2x[:, None] * W3[2][None, :]  # (g, 3)
+    m1 = j1[:, None] * W3[1][None, :] + j2y[:, None] * W3[2][None, :]
+    # u_i = Σ m_i (batched matvec as mul+sum on the VPU).
+    u0 = jnp.sum(covariances * m0[:, None, :], axis=-1)  # (g, 3)
+    u1 = jnp.sum(covariances * m1[:, None, :], axis=-1)
+    a = jnp.sum(m0 * u0, axis=-1) + LOWPASS
+    b = jnp.sum(m0 * u1, axis=-1)
+    c = jnp.sum(m1 * u1, axis=-1) + LOWPASS
 
     det = a * c - b * b
     det_valid = det > 0.0
