@@ -50,12 +50,12 @@ def main():
     far = jnp.full((1,), 20.0)
     bg = jnp.zeros((1, 3))
 
-    backend = "tiled"
+    backend = "pallas"
 
     def loss(means, cov, sh, opa, extr):
         img = raster.render(
             extr, intr, near, far, (H, W), bg, means, cov, sh, opa,
-            backend=backend, max_per_tile=1024, tile_chunk=16,
+            backend=backend, max_per_tile=1024, max_dup=8, tile_chunk=16,
         )
         return jnp.mean(img**2)
 

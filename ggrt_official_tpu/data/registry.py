@@ -1,0 +1,14 @@
+"""Dataset registry (name -> class), ref data_loaders/__init__.py:32-46."""
+from __future__ import annotations
+
+from .collections import IBRNetCollectedDataset, LLFFDataset
+from .datasets import LLFFTestDataset, SyntheticPlanesDataset
+from .waymo import WaymoStaticDataset
+
+dataset_dict = {
+    "llff": LLFFDataset,
+    "llff_test": LLFFTestDataset,
+    "ibrnet_collected": IBRNetCollectedDataset,
+    "waymo": WaymoStaticDataset,
+    "synthetic": SyntheticPlanesDataset,
+}

@@ -93,17 +93,29 @@ def _fwd_kernel(ntx_ref, rec_ref, col_ref, bg_ref, out_ref, tfin_ref, ncontrib_r
     ncontrib_ref[0] = n_contrib
 
 
+_LANES = 128
+
+
 def _bwd_kernel(
     ntx_ref, rec_ref, col_ref, bg_ref, tfin_ref, ncontrib_ref, gout_ref,
-    drec_ref, dcol_ref,
+    dstage_ref,
 ):
+    """Back-to-front gradient walk.
+
+    Mosaic cannot store scalars to VMEM, so per-Gaussian gradients are
+    staged into an (12, 128) register block — component on sublanes,
+    gaussian (k mod 128) on lanes, set via iota masks — and flushed with
+    one vector store per 128 Gaussians. The output is component-major
+    (t, 16, K): rows 0-5 = d{mean_x, mean_y, conic_a, conic_b, conic_c,
+    opacity}, rows 6-8 = dcolor rgb, rows 9-15 zero.
+    """
     t = pl.program_id(0)
     ntx = ntx_ref[0]
     tile_y = t // ntx
     tile_x = t % ntx
     K = rec_ref.shape[1]
 
-    x, y = _pixel_coords(tile_y, tile_x, rec_ref.dtype)
+    x, y = _pixel_coords(tile_y, tile_x, tfin_ref.dtype)
     g_r = gout_ref[0, 0]
     g_g = gout_ref[0, 1]
     g_b = gout_ref[0, 2]
@@ -111,9 +123,12 @@ def _bwd_kernel(
     n_contrib = ncontrib_ref[0]
     g_dot_bg = g_r * bg_ref[0] + g_g * bg_ref[1] + g_b * bg_ref[2]
 
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (16, _LANES), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (16, _LANES), 0)
+
     def body(i, carry):
         # Walk back-to-front: k = K-1-i.
-        T_next, accum = carry  # T after gaussian k (per pixel); suffix sum of (g.c_j) S_j
+        T_next, accum, staging = carry
         k = K - 1 - i
         mx = rec_ref[0, k, 0]
         my = rec_ref[0, k, 1]
@@ -140,43 +155,52 @@ def _bwd_kernel(
         S = jnp.where(live, alpha * T_i, 0.0)
 
         g_dot_c = g_r * cr + g_g * cg + g_b * cb_col
-        # dL/dalpha (only for live contributions).
-        dalpha = jnp.where(
-            live,
-            g_dot_c * T_i - (accum + g_dot_bg * T_final) / one_minus,
-            0.0,
-        )
-        # Chain to opacity / gaussian params; clamp at 0.99 kills the grad.
-        not_clamped = raw_alpha < ALPHA_MAX
-        dG = jnp.where(not_clamped, op * dalpha, 0.0)
-        dop_pix = jnp.where(not_clamped, G * dalpha, 0.0)
+        live_f = live.astype(T_i.dtype)
+        dalpha = live_f * (g_dot_c * T_i - (accum + g_dot_bg * T_final) / one_minus)
+        not_clamped = (raw_alpha < ALPHA_MAX).astype(T_i.dtype)
+        dG = not_clamped * op * dalpha
+        dop_pix = not_clamped * G * dalpha
         dpower = dG * G
 
-        dca = jnp.sum(-0.5 * dx * dx * dpower)
-        dcb = jnp.sum(-dx * dy * dpower)
-        dcc = jnp.sum(-0.5 * dy * dy * dpower)
-        dmx = jnp.sum((ca * dx + cb * dy) * dpower)
-        dmy = jnp.sum((cc * dy + cb * dx) * dpower)
-        dop = jnp.sum(dop_pix)
+        grads = jnp.stack(
+            [
+                jnp.sum((ca * dx + cb * dy) * dpower),   # dmx
+                jnp.sum((cc * dy + cb * dx) * dpower),   # dmy
+                jnp.sum(-0.5 * dx * dx * dpower),        # dca
+                jnp.sum(-dx * dy * dpower),              # dcb
+                jnp.sum(-0.5 * dy * dy * dpower),        # dcc
+                jnp.sum(dop_pix),                        # dop
+                jnp.sum(g_r * S),                        # dcol r
+                jnp.sum(g_g * S),                        # dcol g
+                jnp.sum(g_b * S),                        # dcol b
+            ]
+        )
+        # Scatter the 9 scalars into staging[(0..8), k % 128] via masks.
+        lane = k % _LANES
+        col_mask = lane_ids == lane
+        update = jnp.zeros_like(staging)
+        for c in range(9):
+            update = update + jnp.where(
+                col_mask & (row_ids == c), grads[c], 0.0
+            )
+        staging = staging + update
 
-        drec_ref[0, k, 0] = dmx
-        drec_ref[0, k, 1] = dmy
-        drec_ref[0, k, 2] = dca
-        drec_ref[0, k, 3] = dcb
-        drec_ref[0, k, 4] = dcc
-        drec_ref[0, k, 5] = dop
-        drec_ref[0, k, 6] = 0.0
-        drec_ref[0, k, 7] = 0.0
-        dcol_ref[0, k, 0] = jnp.sum(g_r * S)
-        dcol_ref[0, k, 1] = jnp.sum(g_g * S)
-        dcol_ref[0, k, 2] = jnp.sum(g_b * S)
-        dcol_ref[0, k, 3] = 0.0
+        # Flush when the descending walk finishes a 128-lane block.
+        @pl.when(lane == 0)
+        def _():
+            block = pl.multiple_of(k, _LANES)
+            dstage_ref[0, :, pl.ds(block, _LANES)] = staging
+
+        staging = jnp.where(lane == 0, jnp.zeros_like(staging), staging)
 
         accum = accum + g_dot_c * S
-        return T_i, accum
+        return T_i, accum, staging
 
     shape = (TILE_H, TILE_W)
-    jax.lax.fori_loop(0, K, body, (T_final, jnp.zeros(shape, rec_ref.dtype)))
+    jax.lax.fori_loop(
+        0, K, body,
+        (T_final, jnp.zeros(shape, tfin_ref.dtype), jnp.zeros((16, _LANES), tfin_ref.dtype)),
+    )
 
 
 def _composite_fwd_raw(records, colors, background, ntx_arr, num_tiles):
@@ -208,7 +232,7 @@ def _composite_fwd_raw(records, colors, background, ntx_arr, num_tiles):
 def _composite_bwd_raw(records, colors, background, ntx_arr, tfin, ncontrib, gout, num_tiles):
     K = records.shape[1]
     grid = (num_tiles,)
-    drec, dcol = pl.pallas_call(
+    dstage = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
         in_specs=[
@@ -220,15 +244,18 @@ def _composite_bwd_raw(records, colors, background, ntx_arr, tfin, ncontrib, gou
             pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, TILE_H, TILE_W), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(records.shape, records.dtype),
-            jax.ShapeDtypeStruct(colors.shape, colors.dtype),
-        ],
+        out_specs=pl.BlockSpec((1, 16, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 16, K), records.dtype),
     )(ntx_arr, records, colors, background, tfin, ncontrib, gout)
+    # Component-major (t, 16, K) -> cotangents matching the fwd inputs.
+    drec = jnp.concatenate(
+        [jnp.swapaxes(dstage[:, :6], 1, 2), jnp.zeros((num_tiles, K, 2), records.dtype)],
+        axis=-1,
+    )
+    dcol = jnp.concatenate(
+        [jnp.swapaxes(dstage[:, 6:9], 1, 2), jnp.zeros((num_tiles, K, 1), records.dtype)],
+        axis=-1,
+    )
     return drec, dcol
 
 
@@ -290,6 +317,14 @@ def composite_tiles_pallas(
         axis=-1,
     )  # (t, K, 8)
     colors = jnp.concatenate([color, jnp.zeros_like(color[..., :1])], axis=-1)
+
+    # The backward staging flushes 128 gaussians per store: pad K up to a
+    # lane multiple (zero opacity = no-op; jnp.pad's VJP unpads cotangents).
+    K = records.shape[1]
+    K_pad = -(-K // 128) * 128
+    if K_pad != K:
+        records = jnp.pad(records, ((0, 0), (0, K_pad - K), (0, 0)))
+        colors = jnp.pad(colors, ((0, 0), (0, K_pad - K), (0, 0)))
 
     out = _composite_tiles_core(records, colors, background, int(ntx), int(num_tiles))
     img = out.reshape(nty, ntx, 3, TILE_H, TILE_W)

@@ -84,9 +84,19 @@ def bin_gaussians(
         jnp.arange(g, dtype=jnp.int32)[:, None], (g, max_dup)
     ).reshape(-1)
 
-    tile_sorted, _, gid_sorted = jax.lax.sort(
-        (flat_tile, flat_rank, flat_gid), num_keys=2
-    )
+    # Pack (tile, depth-rank) into one int32 key when the ranges allow —
+    # a single-key sort is much cheaper than the lexicographic two-key
+    # sort (the CUDA reference packs (tileID | depth) into 64 bits).
+    rank_bits = max(g.bit_length(), 1)
+    if (num_tiles + 1).bit_length() + rank_bits <= 31:
+        packed = (flat_tile << rank_bits) | flat_rank
+        _, tile_sorted, gid_sorted = jax.lax.sort(
+            (packed, flat_tile, flat_gid), num_keys=1
+        )
+    else:
+        tile_sorted, _, gid_sorted = jax.lax.sort(
+            (flat_tile, flat_rank, flat_gid), num_keys=2
+        )
 
     # Per-tile segments: starts via searchsorted over the sorted tile column.
     tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Generalizable GGRt pretraining CLI (train_ggrt_stable.py equivalent).
+
+Usage:
+  python scripts/train_ggrt.py --rootdir data/ibrnet/train \
+      --scenes fern --n_iters 6000 --out out/pretrain
+  python scripts/train_ggrt.py --synthetic --n_iters 50 --out /tmp/smoke
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rootdir", default="data/ibrnet/train")
+    ap.add_argument("--scenes", nargs="*", default=[])
+    ap.add_argument("--n_iters", type=int, default=None)
+    ap.add_argument("--out", default="out/pretrain")
+    ap.add_argument("--num_source_views", type=int, default=None)
+    ap.add_argument("--synthetic", action="store_true", help="procedural scene (smoke test)")
+    ap.add_argument("--override", nargs="*", default=[], help="cfg overrides key=value")
+    args = ap.parse_args()
+
+    from ggrt_official_tpu.config import pretrain_config, apply_overrides
+    from ggrt_official_tpu.data.datasets import (
+        LLFFTestDataset, SyntheticPlanesDataset, SyntheticSceneSpec, collate_batch,
+    )
+    from ggrt_official_tpu.training.loop import train_loop
+    from ggrt_official_tpu.training.trainer import GGRtTrainer
+
+    cfg = pretrain_config()
+    if args.n_iters:
+        cfg.train.n_iters = args.n_iters
+    if args.num_source_views:
+        cfg.train.num_source_views = args.num_source_views
+    if args.rootdir:
+        cfg.train.rootdir = args.rootdir
+    apply_overrides(cfg, dict(kv.split("=", 1) for kv in args.override))
+
+    if args.synthetic:
+        ds = SyntheticPlanesDataset(
+            SyntheticSceneSpec(n_views=12, image_size=(64, 96)),
+            num_source_views=min(cfg.train.num_source_views, 4),
+        )
+    else:
+        ds = LLFFTestDataset(
+            cfg.train.rootdir, "train", scenes=tuple(args.scenes),
+            num_source_views=cfg.train.num_source_views, llffhold=cfg.train.llffhold,
+        )
+
+    def batches():
+        for i in itertools.count():
+            yield collate_batch(ds[i % len(ds)])
+
+    trainer = GGRtTrainer(cfg)
+    train_loop(trainer, batches(), args.out)
+
+
+if __name__ == "__main__":
+    main()

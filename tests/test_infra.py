@@ -1,0 +1,189 @@
+"""Tests for infra: checkpointing, loop, gaussian cache, config, mixing."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestConfig:
+    def test_defaults_match_reference_yaml(self):
+        from ggrt_official_tpu.config import GGRtConfig
+
+        cfg = GGRtConfig()
+        # configs/pixelsplat/encoder/epipolar.yaml values.
+        assert cfg.encoder.d_feature == 128
+        assert cfg.encoder.num_monocular_samples == 32
+        assert cfg.encoder.gaussians_per_pixel == 3
+        assert cfg.encoder.gaussian_adapter.sh_degree == 4
+        assert cfg.encoder.epipolar_transformer.num_samples == 32
+        assert cfg.encoder.epipolar_transformer.downscale == 4
+        # configs/pretrain_ggrt_stable.yaml values.
+        assert cfg.train.num_source_views == 5
+        assert cfg.train.optimizer.lr == 1.5e-4
+        assert cfg.train.optimizer.warm_up_steps == 2000
+        assert cfg.train.lrate_pose == 2e-5
+        assert cfg.train.llffhold == 8
+
+    def test_overrides(self):
+        from ggrt_official_tpu.config import pretrain_config
+
+        cfg = pretrain_config(**{"train.n_iters": 7, "encoder.d_feature": 64})
+        assert cfg.train.n_iters == 7
+        assert cfg.encoder.d_feature == 64
+
+    def test_finetune_profile(self):
+        from ggrt_official_tpu.config import finetune_config
+
+        cfg = finetune_config()
+        assert cfg.train.num_source_views == 7
+        assert cfg.train.optimizer.lr == 5e-5
+        assert cfg.train.use_pred_pose is False
+        assert cfg.train.crop_size == 2
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from ggrt_official_tpu.training.checkpoint import CheckPointManager
+
+        mgr = CheckPointManager(str(tmp_path))
+        state = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}
+        mgr.save(10, state, score=1.0)
+        mgr.save(20, state, score=2.0)
+        payload = mgr.load()
+        assert payload["step"] == 20
+        np.testing.assert_allclose(payload["state"]["a"], np.arange(5.0))
+
+    def test_best_tracking(self, tmp_path):
+        from ggrt_official_tpu.training.checkpoint import CheckPointManager
+
+        mgr = CheckPointManager(str(tmp_path))
+        mgr.save(1, {"x": jnp.zeros(1)}, score=5.0)
+        mgr.save(2, {"x": jnp.ones(1)}, score=3.0)  # worse — best stays at 1
+        best = mgr.load(os.path.join(str(tmp_path), "best"))
+        np.testing.assert_allclose(best["state"]["x"], [0.0])
+
+    def test_retention(self, tmp_path):
+        from ggrt_official_tpu.training.checkpoint import CheckPointManager
+
+        mgr = CheckPointManager(str(tmp_path), max_to_keep=2)
+        for step in (1, 2, 3):
+            mgr.save(step, {"x": jnp.full(1, float(step))})
+        names = [n for n in os.listdir(tmp_path) if n.startswith("ckpt_")]
+        assert len(names) == 2
+        assert "ckpt_00000001" not in names
+
+
+class TestGaussianCache:
+    def _fake_gaussians(self, val, n=4):
+        from ggrt_official_tpu.models.gaussian_adapter import Gaussians
+
+        f = jnp.full
+        return Gaussians(
+            means=f((1, n, 3), val), covariances=f((1, n, 3, 3), val),
+            harmonics=f((1, n, 3, 4), val), opacities=f((1, n), val),
+            scales=f((1, n, 3), val), rotations=f((1, n, 4), val),
+        )
+
+    def test_hit_miss_and_eviction(self):
+        from ggrt_official_tpu.training.gaussian_cache import CachedPairEncoder
+
+        calls = []
+
+        def encode_pair(pair):
+            key = float(pair["index"][0, 0])
+            calls.append(key)
+            return self._fake_gaussians(key)
+
+        enc = CachedPairEncoder(encode_pair)
+        ctx = {
+            "index": jnp.array([[2, 0, 1]]),
+            "image": jnp.zeros((1, 3, 3, 4, 4)),
+        }
+        g = enc(ctx)  # sorted order 0,1,2 -> pairs (0,1), (1,2)
+        assert g.means.shape == (1, 8, 3)
+        assert enc.misses == 2 and enc.hits == 0
+
+        # Same window again: all hits.
+        enc(ctx)
+        assert enc.misses == 2 and enc.hits == 2
+
+        # Slide the window: frame 0 evicted, new pair (2,3) encoded.
+        ctx2 = {
+            "index": jnp.array([[3, 1, 2]]),
+            "image": jnp.zeros((1, 3, 3, 4, 4)),
+        }
+        enc(ctx2)
+        assert enc.misses == 3 and enc.hits == 3
+        assert 0 not in enc.cache.store
+
+
+class TestTrainLoop:
+    def test_loop_smoke_and_resume(self, tmp_path):
+        from tests.test_models import tiny_cfg
+        from ggrt_official_tpu.data.datasets import (
+            SyntheticPlanesDataset, SyntheticSceneSpec, collate_batch,
+        )
+        from ggrt_official_tpu.training.loop import train_loop
+        from ggrt_official_tpu.training.trainer import GGRtTrainer
+
+        cfg = tiny_cfg()
+        cfg.train.n_checkpoint = 2
+        cfg.train.n_tensorboard = 1
+        cfg.train.use_depth_loss = False
+        cfg.train.use_pred_pose = False
+        ds = SyntheticPlanesDataset(
+            SyntheticSceneSpec(n_views=8, image_size=(32, 64)), num_source_views=3
+        )
+
+        def batches():
+            i = 0
+            while True:
+                yield collate_batch(ds[i % len(ds)])
+                i += 1
+
+        trainer = GGRtTrainer(cfg)
+        train_loop(trainer, batches(), str(tmp_path), n_iters=3)
+        assert os.path.exists(tmp_path / "metrics.jsonl")
+        assert os.path.exists(tmp_path / "checkpoints" / "latest")
+
+        # Resume into a fresh trainer.
+        trainer2 = GGRtTrainer(cfg)
+        train_loop(trainer2, batches(), str(tmp_path), n_iters=4)
+        assert int(trainer2.state.step) >= 4
+
+
+class TestMixing:
+    def test_weighted_mixing(self):
+        from ggrt_official_tpu.data.mixing import WeightedMixDataset
+
+        class Fake:
+            def __init__(self, tag):
+                self.tag = tag
+
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                return self.tag
+
+        mix = WeightedMixDataset([Fake("a"), Fake("b")], [0.9, 0.1], seed=0)
+        draws = [mix[i] for i in range(200)]
+        frac_a = draws.count("a") / len(draws)
+        assert 0.8 < frac_a < 0.97
+
+    def test_host_shards_disjoint_and_deterministic(self):
+        from ggrt_official_tpu.data.mixing import WeightedMixDataset
+
+        class Counting:
+            def __len__(self):
+                return 1000
+
+            def __getitem__(self, i):
+                return i
+
+        mix = WeightedMixDataset([Counting()], [1.0])
+        s0 = [next(x) for x in [mix.host_shard_iter(0, 2, seed=1)] for _ in range(5)]
+        s0b = [next(x) for x in [mix.host_shard_iter(0, 2, seed=1)] for _ in range(5)]
+        assert s0 == s0b
