@@ -3,6 +3,7 @@ from __future__ import annotations
 
 from .collections import IBRNetCollectedDataset, LLFFDataset
 from .datasets import LLFFTestDataset, SyntheticPlanesDataset
+from .nerf_synthetic import NerfSyntheticDataset
 from .waymo import WaymoStaticDataset
 
 dataset_dict = {
@@ -10,5 +11,6 @@ dataset_dict = {
     "llff_test": LLFFTestDataset,
     "ibrnet_collected": IBRNetCollectedDataset,
     "waymo": WaymoStaticDataset,
+    "nerf_synthetic": NerfSyntheticDataset,
     "synthetic": SyntheticPlanesDataset,
 }

@@ -28,6 +28,7 @@ def _render_one(
     extrinsics, intrinsics, near, far, background,
     means, covariances, sh_coeffs, opacities,
     image_shape, backend, max_dup, max_per_tile, tile_chunk,
+    binning_mode="counting",
 ):
     if backend == "reference":
         # tile_shape mirrors the production tiles so the oracle reproduces
@@ -41,7 +42,8 @@ def _render_one(
         means, covariances, sh_coeffs, opacities,
         extrinsics, intrinsics, near, far, image_shape,
     )
-    binning = tiling.bin_gaussians(pg, image_shape, max_dup=max_dup, max_per_tile=max_per_tile)
+    bin_fn = tiling.bin_gaussians_counting if binning_mode == "counting" else tiling.bin_gaussians
+    binning = bin_fn(pg, image_shape, max_dup=max_dup, max_per_tile=max_per_tile)
     if backend == "tiled":
         return composite.composite_tiles(
             pg, binning, background, image_shape, tile_chunk=tile_chunk
@@ -55,7 +57,7 @@ def _render_one(
 
 @partial(
     jax.jit,
-    static_argnames=("image_shape", "backend", "scale_invariant", "max_dup", "max_per_tile", "tile_chunk"),
+    static_argnames=("image_shape", "backend", "scale_invariant", "max_dup", "max_per_tile", "tile_chunk", "binning_mode"),
 )
 def render(
     extrinsics: jnp.ndarray,
@@ -73,6 +75,7 @@ def render(
     max_dup: int = 32,
     max_per_tile: int = 1024,
     tile_chunk: int = 16,
+    binning_mode: str = "counting",
 ) -> jnp.ndarray:
     """Render a batch of views.
 
@@ -96,8 +99,15 @@ def render(
 
     fn = lambda e, i, n, f, bg, m, c, s, o: _render_one(
         e, i, n, f, bg, m, c, s, o,
-        image_shape, backend, max_dup, max_per_tile, tile_chunk,
+        image_shape, backend, max_dup, max_per_tile, tile_chunk, binning_mode,
     )
+    if extrinsics.shape[0] == 1:
+        # Avoid a 1-element vmap: vmapping pallas_call adds a mapped grid
+        # dimension with measurable overhead (~60% on the fwd+bwd bench).
+        return fn(
+            extrinsics[0], intrinsics[0], near[0], far[0], background[0],
+            means[0], covariances[0], sh_coeffs[0], opacities[0],
+        )[None]
     return jax.vmap(fn)(
         extrinsics, intrinsics, near, far, background, means, covariances, sh_coeffs, opacities
     )

@@ -19,14 +19,11 @@ from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS, ProjectedGaussians
 from .tiling import TILE_H, TILE_W, TileBinning
 
 
-def _tile_pixel_grid(nty: int, ntx: int, tile_h: int, tile_w: int, dtype):
-    """Pixel-center coordinates per tile: (num_tiles, tile_h*tile_w, 2)."""
-    ty = jnp.arange(nty)
-    tx = jnp.arange(ntx)
-    tyy, txx = jnp.meshgrid(ty, tx, indexing="ij")
-    tile_origin = jnp.stack(
-        [txx.reshape(-1) * tile_w, tyy.reshape(-1) * tile_h], axis=-1
-    ).astype(dtype)
+def _tile_pixel_grid_from_ids(tile_ids: jnp.ndarray, ntx: int, tile_h: int, tile_w: int, dtype):
+    """Pixel-center coordinates for flat tile ids: (len(ids), th*tw, 2)."""
+    ty = tile_ids // ntx
+    tx = tile_ids % ntx
+    tile_origin = jnp.stack([tx * tile_w, ty * tile_h], axis=-1).astype(dtype)
     py = jnp.arange(tile_h)
     px = jnp.arange(tile_w)
     pyy, pxx = jnp.meshgrid(py, px, indexing="ij")
@@ -34,39 +31,36 @@ def _tile_pixel_grid(nty: int, ntx: int, tile_h: int, tile_w: int, dtype):
     return tile_origin[:, None, :] + local[None, :, :]
 
 
-def composite_tiles(
-    pg: ProjectedGaussians,
-    binning: TileBinning,
-    background: jnp.ndarray,
-    image_shape: tuple[int, int],
-    tile_h: int = TILE_H,
-    tile_w: int = TILE_W,
-    tile_chunk: int = 16,
-) -> jnp.ndarray:
-    """Composite all tiles; returns (3, h, w).
+def _tile_pixel_grid(nty: int, ntx: int, tile_h: int, tile_w: int, dtype):
+    """Pixel-center coordinates per tile: (num_tiles, tile_h*tile_w, 2)."""
+    ids = jnp.arange(nty * ntx)
+    return _tile_pixel_grid_from_ids(ids, ntx, tile_h, tile_w, dtype)
 
-    Args:
-      tile_chunk: tiles processed per lax.map step (memory knob).
-    """
-    h, w = image_shape
-    nty, ntx = binning.num_tiles_y, binning.num_tiles_x
-    num_tiles = nty * ntx
-    K = binning.gaussian_ids.shape[1]
+
+def gather_tile_records(pg: ProjectedGaussians, gaussian_ids: jnp.ndarray):
+    """Gather per-tile Gaussian records (t, K, ...). Gradients flow back
+    through the gathers to the projected Gaussians (scatter-add VJP)."""
     dtype = pg.mean2d.dtype
+    safe_ids = jnp.maximum(gaussian_ids, 0)
+    present = (gaussian_ids >= 0).astype(dtype)
+    return (
+        pg.mean2d[safe_ids],
+        pg.conic[safe_ids],
+        pg.color[safe_ids],
+        pg.opacity[safe_ids] * present,
+    )
 
-    ids = binning.gaussian_ids  # (t, K)
-    safe_ids = jnp.maximum(ids, 0)
-    present = (ids >= 0).astype(dtype)
 
-    # Gather per-tile records (t, K, ...). Gradients flow back through the
-    # gathers to the projected Gaussians (scatter-add in the VJP).
-    mean2d = pg.mean2d[safe_ids]
-    conic = pg.conic[safe_ids]
-    color = pg.color[safe_ids]
-    opacity = pg.opacity[safe_ids] * present
+def composite_gathered(
+    mean2d, conic, color, opacity, pixels, background, tile_chunk: int = 16
+) -> jnp.ndarray:
+    """Composite gathered per-tile records; returns (t, P, 3) tile colors.
 
-    pixels = _tile_pixel_grid(nty, ntx, tile_h, tile_w, dtype)  # (t, P, 2)
-
+    All inputs tile-major: records (t, K, ...), pixels (t, P, 2). This is
+    the unit the tile-parallel ("tp" mesh axis) renderer shards.
+    """
+    num_tiles = mean2d.shape[0]
+    dtype = mean2d.dtype
     num_chunks = -(-num_tiles // tile_chunk)
     pad = num_chunks * tile_chunk - num_tiles
 
@@ -102,8 +96,39 @@ def composite_tiles(
         jax.checkpoint(chunk_fn),
         (chunked(mean2d), chunked(conic), chunked(color), chunked(opacity), chunked(pixels)),
     )  # (num_chunks, tile_chunk, P, 3)
+    P = pixels.shape[1]
+    return out.reshape(num_chunks * tile_chunk, P, 3)[:num_tiles]
 
-    out = out.reshape(num_chunks * tile_chunk, tile_h * tile_w, 3)[:num_tiles]
-    out = out.reshape(nty, ntx, tile_h, tile_w, 3)
+
+def tiles_to_image(tile_colors: jnp.ndarray, nty: int, ntx: int,
+                   image_shape: tuple[int, int],
+                   tile_h: int = TILE_H, tile_w: int = TILE_W) -> jnp.ndarray:
+    """(num_tiles, th*tw, 3) -> (3, h, w)."""
+    h, w = image_shape
+    out = tile_colors.reshape(nty, ntx, tile_h, tile_w, 3)
     img = out.transpose(4, 0, 2, 1, 3).reshape(3, nty * tile_h, ntx * tile_w)
     return img[:, :h, :w]
+
+
+def composite_tiles(
+    pg: ProjectedGaussians,
+    binning: TileBinning,
+    background: jnp.ndarray,
+    image_shape: tuple[int, int],
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    tile_chunk: int = 16,
+) -> jnp.ndarray:
+    """Composite all tiles; returns (3, h, w).
+
+    Args:
+      tile_chunk: tiles processed per lax.map step (memory knob).
+    """
+    nty, ntx = binning.num_tiles_y, binning.num_tiles_x
+    dtype = pg.mean2d.dtype
+    mean2d, conic, color, opacity = gather_tile_records(pg, binning.gaussian_ids)
+    pixels = _tile_pixel_grid(nty, ntx, tile_h, tile_w, dtype)
+    tile_colors = composite_gathered(
+        mean2d, conic, color, opacity, pixels, background, tile_chunk
+    )
+    return tiles_to_image(tile_colors, nty, ntx, image_shape, tile_h, tile_w)

@@ -110,3 +110,88 @@ def bin_gaussians(
     ids = jnp.where(in_seg, gid_sorted[positions], -1)
 
     return TileBinning(gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx)
+
+
+def bin_gaussians_counting(
+    pg: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    max_dup: int = 8,
+    max_per_tile: int = 1024,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    chunk: int = 32768,
+) -> TileBinning:
+    """Sort-free binning: one N-element depth argsort + a stable counting
+    sort by tile (chunked one-hot prefix sums + a single scatter).
+
+    Replaces the (N * max_dup)-element comparison sort of `bin_gaussians`
+    with O(N * dup * T) VPU work — the same trick the CUDA kernel's radix
+    sort exploits (keys have tiny entropy), expressed as cumsums so XLA
+    keeps it on-chip. Produces identical lists to `bin_gaussians`.
+    """
+    h, w = image_shape
+    ntx = -(-w // tile_w)
+    nty = -(-h // tile_h)
+    num_tiles = nty * ntx
+    g = pg.mean2d.shape[0]
+
+    visible = pg.valid & (pg.radius > 0.0)
+    x0 = jnp.clip(((pg.mean2d[:, 0] - pg.radius) / tile_w).astype(jnp.int32), 0, ntx)
+    x1 = jnp.clip(
+        jnp.floor((pg.mean2d[:, 0] + pg.radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, ntx
+    )
+    y0 = jnp.clip(((pg.mean2d[:, 1] - pg.radius) / tile_h).astype(jnp.int32), 0, nty)
+    y1 = jnp.clip(
+        jnp.floor((pg.mean2d[:, 1] + pg.radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, nty
+    )
+    nx = x1 - x0
+    ny = y1 - y0
+    visible = visible & (nx > 0) & (ny > 0)
+
+    # Depth order once (N keys).
+    order = jnp.argsort(jnp.where(visible, pg.depth, jnp.inf)).astype(jnp.int32)
+
+    # Enumerate dup slots in depth order -> entries are already grouped
+    # front-to-back, so a *stable* counting sort by tile preserves depth
+    # order within each tile.
+    slot = jnp.arange(max_dup, dtype=jnp.int32)
+    x0o, y0o, nxo, nyo = x0[order], y0[order], nx[order], ny[order]
+    viso = visible[order]
+    nx_safe = jnp.maximum(nxo, 1)
+    ty = y0o[:, None] + slot[None, :] // nx_safe[:, None]
+    tx = x0o[:, None] + slot[None, :] % nx_safe[:, None]
+    in_box = (slot[None, :] < (nxo * nyo)[:, None]) & viso[:, None]
+    tile_flat = jnp.where(in_box, ty * ntx + tx, num_tiles).reshape(-1).astype(jnp.int32)
+    gid_flat = jnp.broadcast_to(order[:, None], (g, max_dup)).reshape(-1)
+
+    total = tile_flat.shape[0]
+    pad = (-total) % chunk
+    tile_pad = jnp.pad(tile_flat, (0, pad), constant_values=num_tiles)
+    n_chunks = tile_pad.shape[0] // chunk
+    tiles_c = tile_pad.reshape(n_chunks, chunk)
+
+    tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+
+    def scan_body(prior_counts, tiles_chunk):
+        onehot = (tiles_chunk[:, None] == tile_range[None, :]).astype(jnp.int32)
+        cs = jnp.cumsum(onehot, axis=0)
+        # rank of each entry within its tile = prior + inclusive count - 1
+        own = jnp.take_along_axis(cs, tiles_chunk[:, None], axis=1)[:, 0]
+        prior_own = prior_counts[tiles_chunk]
+        rank = prior_own + own - 1
+        return prior_counts + cs[-1], rank
+
+    totals, ranks = jax.lax.scan(scan_body, jnp.zeros(num_tiles + 1, jnp.int32), tiles_c)
+    rank_flat = ranks.reshape(-1)[:total]
+
+    counts = jnp.minimum(totals[:num_tiles], max_per_tile)
+
+    valid_entry = (tile_flat < num_tiles) & (rank_flat < max_per_tile)
+    position = jnp.where(
+        valid_entry, tile_flat * max_per_tile + rank_flat, num_tiles * max_per_tile
+    )
+    ids = jnp.full((num_tiles * max_per_tile + 1,), -1, jnp.int32)
+    ids = ids.at[position].set(jnp.where(valid_entry, gid_flat, -1), mode="drop")
+    ids = ids[:-1].reshape(num_tiles, max_per_tile)
+
+    return TileBinning(gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx)

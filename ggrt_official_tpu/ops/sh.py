@@ -98,7 +98,9 @@ def eval_sh(coeffs: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
     d_sh = coeffs.shape[-1]
     degree = int(round(d_sh**0.5)) - 1
     basis = eval_sh_basis(directions, degree)
-    color = jnp.einsum("...cd,...d->...c", coeffs, basis) + 0.5
+    # mul+sum instead of einsum: the batched (3, d_sh) matvec lowers to
+    # pathological tiny GEMMs on the MXU; this stays on the VPU.
+    color = jnp.sum(coeffs * basis[..., None, :], axis=-1) + 0.5
     return jnp.maximum(color, 0.0)
 
 

@@ -1,0 +1,72 @@
+"""Tile-parallel rendering over the "tp" mesh axis.
+
+New capability beyond the reference (SURVEY.md §5.7): within one view, the
+screen-tile compositing loop is sharded across chips — Gaussians are
+replicated (projection/binning are cheap and replicated), each chip
+composites its slice of tiles, and the image tiles come back with an
+all-gather over ICI. For Waymo-scale images this is the axis that scales
+pixels/s beyond one chip.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.rasterizer import composite, tiling
+from ..ops.rasterizer.projection import ProjectedGaussians, project_gaussians
+
+
+def render_tile_parallel(
+    mesh: Mesh,
+    means, covariances, sh_coeffs, opacities,
+    extrinsics, intrinsics, near, far,
+    image_shape: tuple[int, int],
+    background,
+    max_dup: int = 8,
+    max_per_tile: int = 1024,
+    tile_chunk: int = 16,
+):
+    """Render one view with tiles sharded over mesh axis 'tp'.
+
+    Single-view arguments (no batch dim). Returns (3, h, w), replicated.
+    """
+    tp = mesh.shape["tp"]
+
+    pg = project_gaussians(
+        means, covariances, sh_coeffs, opacities,
+        extrinsics, intrinsics, near, far, image_shape,
+    )
+    binning = tiling.bin_gaussians(
+        pg, image_shape, max_dup=max_dup, max_per_tile=max_per_tile
+    )
+    nty, ntx = binning.num_tiles_y, binning.num_tiles_x
+    num_tiles = nty * ntx
+
+    # Pad the tile axis to a multiple of tp, gather records (replicated
+    # gaussians -> tile-major arrays), then shard tiles.
+    pad = (-num_tiles) % tp
+    ids = jnp.pad(binning.gaussian_ids, ((0, pad), (0, 0)), constant_values=-1)
+    tile_ids = jnp.pad(jnp.arange(num_tiles), (0, pad))
+
+    mean2d, conic, color, opacity = composite.gather_tile_records(pg, ids)
+    pixels = composite._tile_pixel_grid_from_ids(
+        tile_ids, ntx, tiling.TILE_H, tiling.TILE_W, mean2d.dtype
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("tp"), P("tp"), P("tp"), P("tp"), P("tp"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def sharded_composite(m2d, con, col, opa, pix, bg):
+        local = composite.composite_gathered(m2d, con, col, opa, pix, bg, tile_chunk)
+        return jax.lax.all_gather(local, "tp", axis=0, tiled=True)
+
+    tile_colors = sharded_composite(mean2d, conic, color, opacity, pixels, background)
+    tile_colors = tile_colors[:num_tiles]
+    return composite.tiles_to_image(tile_colors, nty, ntx, image_shape)

@@ -177,3 +177,30 @@ class TestDepthRendering:
         center = float(d[0, SHAPE[0] // 2, SHAPE[1] // 2])
         # Center depth ~ 3 * alpha-coverage (single splat, black background).
         assert 2.0 < center < 3.1, center
+
+
+class TestCountingBinning:
+    def test_matches_sort_binning(self):
+        import jax.numpy as jnp
+
+        from ggrt_official_tpu.ops.rasterizer import tiling
+        from ggrt_official_tpu.ops.rasterizer.projection import project_gaussians
+
+        scene = make_scene(jax.random.PRNGKey(7), n=400)
+        pg = project_gaussians(
+            scene["means"][0], scene["covariances"][0], scene["sh_coeffs"][0],
+            scene["opacities"][0], scene["extrinsics"][0], scene["intrinsics"][0],
+            scene["near"][0], scene["far"][0], SHAPE,
+        )
+        a = tiling.bin_gaussians(pg, SHAPE, max_dup=8, max_per_tile=128)
+        b = tiling.bin_gaussians_counting(pg, SHAPE, max_dup=8, max_per_tile=128)
+        np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+        np.testing.assert_array_equal(
+            np.asarray(a.gaussian_ids), np.asarray(b.gaussian_ids)
+        )
+
+    def test_render_with_counting(self):
+        scene = make_scene(jax.random.PRNGKey(8), n=150)
+        ref = render_with(scene, "tiled", max_per_tile=256, binning_mode="sort")
+        got = render_with(scene, "tiled", max_per_tile=256, binning_mode="counting")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
