@@ -59,7 +59,14 @@ def main():
         )
         return jnp.mean(img**2)
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+    # Consume the grads into one scalar inside the jit: in real training the
+    # gradient pytree feeds the optimizer on-device; returning it would add
+    # a large host fetch through the axon tunnel to every timing iteration.
+    def step_impl(*a):
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*a)
+        return sum(jnp.sum(gr) for gr in grads)
+
+    step = jax.jit(step_impl)
 
     # Warm-up/compile.
     out = step(means, cov, sh, opa, extr)

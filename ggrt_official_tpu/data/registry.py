@@ -4,6 +4,7 @@ from __future__ import annotations
 from .collections import IBRNetCollectedDataset, LLFFDataset
 from .datasets import LLFFTestDataset, SyntheticPlanesDataset
 from .nerf_synthetic import NerfSyntheticDataset
+from .scannet import ScannetDataset
 from .waymo import WaymoStaticDataset
 
 dataset_dict = {
@@ -12,5 +13,6 @@ dataset_dict = {
     "ibrnet_collected": IBRNetCollectedDataset,
     "waymo": WaymoStaticDataset,
     "nerf_synthetic": NerfSyntheticDataset,
+    "scannet": ScannetDataset,
     "synthetic": SyntheticPlanesDataset,
 }

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config import GaussianAdapterCfg
@@ -98,7 +99,12 @@ class GaussianAdapter(nn.Module):
         )
         scales = scales * depths[..., None] * multiplier[..., None]
 
-        rotations = rotations / (jnp.linalg.norm(rotations, axis=-1, keepdims=True) + eps)
+        # Safe normalization: at init to_gaussians can emit exactly-zero
+        # quaternion features; the norm's gradient at 0 is NaN, rsqrt(sum+eps)
+        # is not.
+        rotations = rotations * jax.lax.rsqrt(
+            jnp.sum(rotations * rotations, axis=-1, keepdims=True) + eps * eps
+        )
 
         sh = sh.reshape(*sh.shape[:-1], 3, self.d_sh)
         sh = jnp.broadcast_to(sh, (*opacities.shape, 3, self.d_sh)) * self.sh_mask()

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ...geometry.projection import get_fov, invert_se3
@@ -144,14 +145,21 @@ def project_gaussians(
     det_safe = jnp.where(det_valid, det, 1.0)
     conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
 
+    # Radius is tile-binning metadata (integer pixels) — semantically
+    # non-differentiable. Without stop_gradient, sqrt(0) under ceil's zero
+    # cotangent produces 0 * inf = NaN for culled gaussians.
     mid = 0.5 * (a + c)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    radius = jax.lax.stop_gradient(
+        jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-8)))
+    )
 
     # SH -> RGB along the (world) view direction from the camera center.
+    # Safe normalization: sqrt(sum + eps) keeps the gradient finite when a
+    # gaussian sits exactly at the camera center.
     campos = extrinsics[:3, 3]
     dirs = means - campos
-    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    dirs = dirs * jax.lax.rsqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-12)
     color = sh_ops.eval_sh(sh_coeffs, dirs)
 
     valid = det_valid & (tz > NEAR_CLIP)

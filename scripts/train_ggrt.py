@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--out", default="out/pretrain")
     ap.add_argument("--num_source_views", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true", help="procedural scene (smoke test)")
+    ap.add_argument("--tiny", action="store_true", help="tiny model config (smoke test)")
     ap.add_argument("--override", nargs="*", default=[], help="cfg overrides key=value")
     args = ap.parse_args()
 
@@ -34,7 +35,17 @@ def main():
     from ggrt_official_tpu.training.loop import train_loop
     from ggrt_official_tpu.training.trainer import GGRtTrainer
 
-    cfg = pretrain_config()
+    if args.tiny:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", Path(__file__).resolve().parent.parent / "__graft_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        cfg = mod._tiny_cfg()
+    else:
+        cfg = pretrain_config()
     if args.n_iters:
         cfg.train.n_iters = args.n_iters
     if args.num_source_views:

@@ -108,3 +108,20 @@ class TestBenchmarker:
         b.dump(tmp_path / "times.json")
         assert (tmp_path / "times.json").exists()
         assert b.execution_times["op"][0] >= 0.01
+
+
+class TestTrackBuilder:
+    def test_union_and_filtering(self):
+        from ggrt_official_tpu.geometry.tracks import TrackBuilder
+
+        tb = TrackBuilder()
+        tb.add_matches((0, 1), [(5, 7)])
+        tb.add_matches((1, 2), [(7, 9)])     # chains into a 3-view track
+        tb.add_matches((0, 2), [(6, 11)])    # separate 2-view track
+        tb.add_matches((0, 1), [(3, 4)])
+        tb.add_matches((0, 1), [(3, 8)])     # feature 3 matches two feats in img1 -> inconsistent? no: two obs in img1
+        tracks = tb.build()
+        assert [(0, 5), (1, 7), (2, 9)] in tracks
+        assert [(0, 6), (2, 11)] in tracks
+        # the (0,3)-(1,4)-(1,8) group has two observations in image 1 -> dropped
+        assert not any((0, 3) in t for t in tracks)

@@ -1,3 +1,5 @@
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import time
 import jax, jax.numpy as jnp
 def log(*a): print(*a, flush=True)

@@ -1,3 +1,5 @@
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 """TPU timing: pallas vs tiled compositing on the 860k-gaussian scene."""
 import time
 import jax, jax.numpy as jnp
