@@ -139,6 +139,10 @@ class TrainCfg:
     n_checkpoint: int = 500
     n_validation: int = 1000
 
+    # numerics: bf16 default matmul precision NaNs the training step on TPU
+    # (ROADMAP.md #1); trainers trace under this precision context.
+    matmul_precision: str = "float32"
+
     # distribution
     data_parallel: int = 1    # device-mesh data axis (target views)
     tile_parallel: int = 1    # device-mesh tile axis (screen tiles)

@@ -57,6 +57,10 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
         machine_id = state_lib.STATE_JOINT
 
     def loss_fn(params, batch, step, rng):
+        with jax.default_matmul_precision(cfg.train.matmul_precision):
+            return _loss_body(params, batch, step, rng)
+
+    def _loss_body(params, batch, step, rng):
         min_d = batch["depth_range"][0, 0]
         max_d = batch["depth_range"][0, 1]
         inv_depths, rel_poses, sfm, _ = model.apply(
@@ -154,6 +158,11 @@ class GGRtTrainer:
     # -- the jitted iteration --
     def _train_step_impl(self, state: TrainState, batch: dict, rng, machine: str):
         cfg = self.cfg
+        with jax.default_matmul_precision(cfg.train.matmul_precision):
+            return self._train_step_body(state, batch, rng, machine)
+
+    def _train_step_body(self, state: TrainState, batch: dict, rng, machine: str):
+        cfg = self.cfg
         machine_id = jnp.asarray(state_lib.state_id(machine), jnp.int32)
         min_d = batch["depth_range"][0, 0]
         max_d = batch["depth_range"][0, 1]
@@ -227,6 +236,11 @@ class GGRtFinetuneTrainer(GGRtTrainer):
         self._train_step = jax.jit(self._finetune_step_impl, static_argnames=("machine",))
 
     def _finetune_step_impl(self, state: TrainState, batch: dict, rng, machine: str):
+        cfg = self.cfg
+        with jax.default_matmul_precision(cfg.train.matmul_precision):
+            return self._finetune_step_body(state, batch, rng, machine)
+
+    def _finetune_step_body(self, state: TrainState, batch: dict, rng, machine: str):
         cfg = self.cfg
         machine_id = jnp.asarray(state_lib.state_id(machine), jnp.int32)
         min_d = batch["depth_range"][0, 0]

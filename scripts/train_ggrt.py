@@ -18,6 +18,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--matmul_precision", default=None,
+                    help="jax default_matmul_precision override (e.g. float32)")
     ap.add_argument("--rootdir", default="data/ibrnet/train")
     ap.add_argument("--scenes", nargs="*", default=[])
     ap.add_argument("--n_iters", type=int, default=None)
@@ -27,6 +29,10 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="tiny model config (smoke test)")
     ap.add_argument("--override", nargs="*", default=[], help="cfg overrides key=value")
     args = ap.parse_args()
+
+    if args.matmul_precision:
+        import jax
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     from ggrt_official_tpu.config import pretrain_config, apply_overrides
     from ggrt_official_tpu.data.datasets import (
