@@ -103,6 +103,10 @@ class IPONetCfg:
 class OptimizerCfg:
     lr: float = 1.5e-4
     warm_up_steps: int = 2000
+    # Gradient global-norm clip (0 disables). The reference does not clip,
+    # but TPU training showed late gradient spikes -> NaN (ROADMAP.md #1);
+    # clipping is the standard production guard.
+    grad_clip_norm: float = 5.0
 
 
 @dataclass

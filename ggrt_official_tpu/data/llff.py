@@ -132,6 +132,22 @@ def downsample_gaussian_blur(img: np.ndarray, ratio: float) -> np.ndarray:
     return cv2.GaussianBlur(img, (ksize, ksize), sigma, borderType=cv2.BORDER_REFLECT101)
 
 
+def _resize_image(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Anti-aliased resize; GGRT_NATIVE_RESIZE=1 selects the C++ kernel
+    (native/ggrt_native.cpp), default is the reference's cv2 blur+resize."""
+    if os.environ.get("GGRT_NATIVE_RESIZE") == "1":
+        from ..native import resize_bilinear_aa
+
+        return resize_bilinear_aa(img, out_hw)
+    import cv2
+
+    ratio = out_hw[0] / img.shape[0]
+    return cv2.resize(
+        downsample_gaussian_blur(img, ratio), (out_hw[1], out_hw[0]),
+        interpolation=cv2.INTER_LINEAR,
+    )
+
+
 def loader_resize(rgb, camera, src_rgbs, src_cameras, size=(400, 600)):
     """Resize target+source images and rescale the packed 34-vec cameras
     (ref data_utils.py:130-155, including its fx<-ratio_y/fy<-ratio_x
@@ -163,17 +179,6 @@ def loader_resize(rgb, camera, src_rgbs, src_cameras, size=(400, 600)):
     src_cameras[:, 0], src_cameras[:, 1] = out_h, out_w
     src_cameras[:, 2:18] = src_intrinsics.reshape(-1, 16)
 
-    rgb = cv2.resize(
-        downsample_gaussian_blur(rgb, ratio_y), (out_w, out_h), interpolation=cv2.INTER_LINEAR
-    )
-    src_rgbs = np.stack(
-        [
-            cv2.resize(
-                downsample_gaussian_blur(s, ratio_y), (out_w, out_h),
-                interpolation=cv2.INTER_LINEAR,
-            )
-            for s in src_rgbs
-        ],
-        axis=0,
-    )
+    rgb = _resize_image(rgb, (out_h, out_w))
+    src_rgbs = np.stack([_resize_image(s, (out_h, out_w)) for s in src_rgbs], axis=0)
     return rgb, camera, src_rgbs, src_cameras, intrinsics[:3, :3], src_intrinsics[:, :3, :3]

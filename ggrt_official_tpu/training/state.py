@@ -39,6 +39,13 @@ class TrainState(NamedTuple):
     pose_opt_state: Any
 
 
+def _with_clip(cfg: GGRtConfig, opt: optax.GradientTransformation):
+    clip = cfg.train.optimizer.grad_clip_norm
+    if clip and clip > 0:
+        return optax.chain(optax.clip_by_global_norm(clip), opt)
+    return opt
+
+
 def gaussian_optimizer(cfg: GGRtConfig) -> optax.GradientTransformation:
     warm = max(cfg.train.optimizer.warm_up_steps, 1)
     schedule = optax.linear_schedule(
@@ -46,7 +53,7 @@ def gaussian_optimizer(cfg: GGRtConfig) -> optax.GradientTransformation:
         end_value=cfg.train.optimizer.lr,
         transition_steps=warm,
     )
-    return optax.adam(schedule)
+    return _with_clip(cfg, optax.adam(schedule))
 
 
 def pose_optimizer(cfg: GGRtConfig) -> optax.GradientTransformation:
@@ -57,7 +64,7 @@ def pose_optimizer(cfg: GGRtConfig) -> optax.GradientTransformation:
         decay_rate=cfg.train.lrate_decay_factor,
         staircase=True,
     )
-    return optax.adam(schedule)
+    return _with_clip(cfg, optax.adam(schedule))
 
 
 def split_params(params):
