@@ -28,7 +28,7 @@ def _render_one(
     extrinsics, intrinsics, near, far, background,
     means, covariances, sh_coeffs, opacities,
     image_shape, backend, max_dup, max_per_tile, tile_chunk,
-    binning_mode="counting",
+    binning_mode="sort",
 ):
     if backend == "reference":
         # tile_shape mirrors the production tiles so the oracle reproduces
@@ -75,7 +75,7 @@ def render(
     max_dup: int = 32,
     max_per_tile: int = 1024,
     tile_chunk: int = 16,
-    binning_mode: str = "counting",
+    binning_mode: str = "sort",
 ) -> jnp.ndarray:
     """Render a batch of views.
 

@@ -211,10 +211,12 @@ def _composite_fwd_raw(records, colors, background, ntx_arr, num_tiles):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            # Per-gaussian records are consumed as scalars: SMEM loads are
-            # far cheaper than lane-extracting from VMEM vectors.
-            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            # NOTE: records in SMEM would make the per-gaussian scalar
+            # loads cheaper, but the full K-deep list overflows the 1MB SMEM
+            # (padding inflates (K, 8) blocks ~16x). Round-2: chunked
+            # VMEM->SMEM copies. VMEM scalar loads are correct, just slower.
+            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -239,8 +241,8 @@ def _composite_bwd_raw(records, colors, background, ntx_arr, tfin, ncontrib, gou
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),

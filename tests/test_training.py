@@ -100,3 +100,28 @@ class TestFinetuneTrainer:
         g1 = trainer.state.params["params"]["gaussian"]
         diffs = jax.tree_util.tree_map(lambda x, y: float(jnp.abs(x - y).max()), g0, g1)
         assert max(jax.tree_util.tree_leaves(diffs)) > 0.0, "deferred BP must update gaussian params"
+
+
+class TestCachedTrainer:
+    def test_cache_hits_and_learning(self, dataset):
+        from ggrt_official_tpu.training.trainer_cached import CachedGGRtTrainer
+
+        cfg = tiny_cfg()
+        cfg.train.use_depth_loss = False
+        cfg.train.use_pred_pose = False
+        trainer = CachedGGRtTrainer(cfg)
+        batch = collate_batch(dataset[0])
+        trainer.init_full(batch)
+
+        aux0 = trainer.train_iteration(batch, machine="joint")
+        assert np.isfinite(float(aux0["loss_all"]))
+        assert trainer.misses > 0 and trainer.hits == 0
+
+        # Same window again: every pair but none should be recomputed.
+        aux1 = trainer.train_iteration(batch, machine="joint")
+        assert trainer.hits > 0
+        assert np.isfinite(float(aux1["loss_all"]))
+
+        # Different window: partial hits.
+        aux2 = trainer.train_iteration(collate_batch(dataset[1]), machine="joint")
+        assert np.isfinite(float(aux2["loss_all"]))
