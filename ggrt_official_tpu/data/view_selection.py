@@ -68,3 +68,33 @@ def get_nearest_pose_ids(
 
     sorted_ids = np.argsort(dists)
     return sorted_ids[:num_select]
+
+
+def get_nearby_view_ids(
+    target_id: int,
+    graph,
+    idx_to_node_id: dict,
+    node_id_to_idx: dict,
+    num_select: int,
+):
+    """View-graph-based source selection (ref data_utils.py:329-352).
+
+    `graph` is any adjacency with `neighbors(node)` and edge weights
+    accessible as graph[u][v]['weight'] (networkx-compatible); higher weight
+    = stronger covisibility = higher priority.
+    """
+    import heapq
+
+    target_node_id = idx_to_node_id[target_id]
+    heap = []
+    for j in graph.neighbors(target_node_id):
+        if j not in node_id_to_idx:
+            continue
+        priority = int((1.0 / graph[target_node_id][j]["weight"]) * 1e5)
+        heapq.heappush(heap, (priority, j))
+
+    select_ids = []
+    while heap and len(select_ids) < num_select:
+        _, node = heapq.heappop(heap)
+        select_ids.append(node_id_to_idx[node])
+    return np.array(select_ids)

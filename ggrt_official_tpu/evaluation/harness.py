@@ -46,7 +46,9 @@ class Evaluator:
         return ret, gt
 
     def evaluate_view(self, batch_raw: dict, use_pred_pose: bool = True) -> dict:
-        batch = dict(batch_raw)
+        batch = {
+            k: v for k, v in batch_raw.items() if k not in ("rgb_path", "scaled_shape")
+        }
         shimmed = self.data_shim({"context": batch["context"], "target": batch["target"]})
         batch["context"], batch["target"] = shimmed["context"], shimmed["target"]
         batch = jax.tree_util.tree_map(

@@ -187,3 +187,42 @@ class TestMixing:
         s0 = [next(x) for x in [mix.host_shard_iter(0, 2, seed=1)] for _ in range(5)]
         s0b = [next(x) for x in [mix.host_shard_iter(0, 2, seed=1)] for _ in range(5)]
         assert s0 == s0b
+
+
+class TestEvaluator:
+    def test_evaluate_view_smoke(self):
+        from tests.test_models import tiny_cfg
+        from ggrt_official_tpu.data.datasets import (
+            SyntheticPlanesDataset, SyntheticSceneSpec, collate_batch,
+        )
+        from ggrt_official_tpu.evaluation.harness import Evaluator
+        from ggrt_official_tpu.training.trainer import GGRtTrainer
+
+        cfg = tiny_cfg()
+        ds = SyntheticPlanesDataset(
+            SyntheticSceneSpec(n_views=8, image_size=(32, 64)),
+            mode="test", num_source_views=3,
+        )
+        trainer = GGRtTrainer(cfg)
+        trainer.init_full(collate_batch(ds[0]))
+        ev = Evaluator(cfg, trainer.state.params)
+        row = ev.evaluate_view(collate_batch(ds[0]))
+        assert np.isfinite(row["psnr"]) and np.isfinite(row["ssim"])
+        assert np.isfinite(row["R_error_mean"]) and np.isfinite(row["t_error_mean"])
+        assert row["pred"].shape == (3, 32, 64)
+
+
+class TestViewGraphSelection:
+    def test_priority_by_weight(self):
+        import networkx as nx
+
+        from ggrt_official_tpu.data.view_selection import get_nearby_view_ids
+
+        g = nx.Graph()
+        g.add_edge(10, 11, weight=5.0)
+        g.add_edge(10, 12, weight=50.0)  # strongest covisibility
+        g.add_edge(10, 13, weight=1.0)
+        idx_to_node = {0: 10, 1: 11, 2: 12, 3: 13}
+        node_to_idx = {v: k for k, v in idx_to_node.items()}
+        ids = get_nearby_view_ids(0, g, idx_to_node, node_to_idx, num_select=2)
+        assert list(ids) == [2, 1]  # highest weight first
