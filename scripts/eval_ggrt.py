@@ -19,6 +19,7 @@ def main():
     ap.add_argument("--out", default="out/eval")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
     from ggrt_official_tpu.config import pretrain_config
@@ -29,7 +30,17 @@ def main():
     from ggrt_official_tpu.training.checkpoint import CheckPointManager
     from ggrt_official_tpu.training.trainer import GGRtTrainer
 
-    cfg = pretrain_config()
+    if args.tiny:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", Path(__file__).resolve().parent.parent / "__graft_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        cfg = mod._tiny_cfg()
+    else:
+        cfg = pretrain_config()
     cfg.train.rootdir = args.rootdir
 
     if args.synthetic:
