@@ -31,6 +31,12 @@ class Evaluator:
         self.data_shim = get_data_shim(cfg.encoder)
         self._render = jax.jit(self._render_impl)
         self._pose = jax.jit(self._pose_impl)
+        # Metrics must be jitted: eager per-op dispatch is pathologically
+        # slow through the remote-TPU tunnel (~seconds per view).
+        self._psnr_ssim = jax.jit(
+            lambda p, g: (metrics.psnr(p, g), metrics.ssim(p, g))
+        )
+        self._pose_err = jax.jit(metrics.evaluate_pose_errors)
 
     def _pose_impl(self, params, rgb, src_rgbs, camera, src_cameras, min_d, max_d):
         inv_depths, rel_poses, _, _ = self.model.apply(
@@ -68,7 +74,7 @@ class Evaluator:
             jnp.broadcast_to(target_pose, (nv, 4, 4)), rel_poses[:, -1, :]
         )
         gt_c2w = batch["context"]["extrinsics"][0]
-        pose_err = metrics.evaluate_pose_errors(pred_c2w, gt_c2w)
+        pose_err = self._pose_err(pred_c2w, gt_c2w)
 
         if use_pred_pose:
             new_context = dict(batch["context"])
@@ -81,9 +87,10 @@ class Evaluator:
 
         pred = ret["rgb"][0, 0]
         gt_img = gt["rgb"][0, 0]
+        psnr_v, ssim_v = self._psnr_ssim(pred, gt_img)
         out = {
-            "psnr": float(metrics.psnr(pred, gt_img)),
-            "ssim": float(metrics.ssim(pred, gt_img)),
+            "psnr": float(psnr_v),
+            "ssim": float(ssim_v),
             "seconds": dt,
             "pred": np.asarray(pred),
             "gt": np.asarray(gt_img),

@@ -84,7 +84,16 @@ def _fwd_kernel(ntx_ref, rec_ref, col_ref, bg_ref, out_ref, tfin_ref, ncontrib_r
         jnp.zeros(shape, rec_ref.dtype),
         jnp.zeros(shape, jnp.int32),
     )
-    T_run, done, acc_r, acc_g, acc_b, n_contrib = jax.lax.fori_loop(0, K, body, init)
+    # Manual 4x unroll (Mosaic's fori_loop only supports unroll=1/full):
+    # amortizes loop control over four gaussians; K is a lane multiple.
+    def body4(q, carry):
+        for j in range(_UNROLL):
+            carry = body(q * _UNROLL + j, carry)
+        return carry
+
+    T_run, done, acc_r, acc_g, acc_b, n_contrib = jax.lax.fori_loop(
+        0, K // _UNROLL, body4, init
+    )
 
     out_ref[0, 0] = acc_r + T_run * bg_ref[0]
     out_ref[0, 1] = acc_g + T_run * bg_ref[1]
@@ -94,6 +103,7 @@ def _fwd_kernel(ntx_ref, rec_ref, col_ref, bg_ref, out_ref, tfin_ref, ncontrib_r
 
 
 _LANES = 128
+_UNROLL = 8
 
 
 def _bwd_kernel(
@@ -197,8 +207,13 @@ def _bwd_kernel(
         return T_i, accum, staging
 
     shape = (TILE_H, TILE_W)
+    def body4(q, carry):
+        for j in range(_UNROLL):
+            carry = body(q * _UNROLL + j, carry)
+        return carry
+
     jax.lax.fori_loop(
-        0, K, body,
+        0, K // _UNROLL, body4,
         (T_final, jnp.zeros(shape, tfin_ref.dtype), jnp.zeros((16, _LANES), tfin_ref.dtype)),
     )
 
