@@ -6,26 +6,28 @@ Gaussian population (2 context pairs x 3 gaussians/pixel, the pretrain
 config's geometry). vs_baseline compares against the real-time bar implied
 by the reference's title claim (30 fps at 320x448 = 4.3 MP/s fwd; we
 measure fwd+bwd which the reference never achieves in real time).
+
+Robustness (round-2, VERDICT.md weak#1): the axon tunnel can take minutes
+on the first dispatch and can throw transient FAILED_PRECONDITION errors.
+This harness (a) probes the device with a tiny op first, (b) retries the
+whole measurement once on transient TPU backend errors, and (c) ALWAYS
+prints a JSON line — on total failure the line carries value 0 and the
+error tail so the driver records something parseable.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
-import numpy as np
+
+def _emit(payload):
+    print(json.dumps(payload), flush=True)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from ggrt_official_tpu.ops.rasterizer import api as raster
-
-    H, W = 320, 448
-    pairs = 2
-    gpp = 3
-    n_gauss = H * W * gpp * pairs  # per-pair context views contribute h*w*gpp each
-
+def build_inputs(jax, jnp, H, W, gpp=3, pairs=2):
+    n_gauss = H * W * gpp * pairs
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
     g = n_gauss
@@ -49,13 +51,46 @@ def main():
     near = jnp.full((1,), 1.0)
     far = jnp.full((1,), 20.0)
     bg = jnp.zeros((1, 3))
+    return means, cov, sh, opa, extr, intr, near, far, bg
+
+
+def measure(profile_dir=None):
+    import jax
+
+    # Persistent compilation cache: retries and repeated driver runs skip the
+    # multi-minute tunnel compiles.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from ggrt_official_tpu.ops.rasterizer import api as raster
+
+    # --- device probe: force the tunnel up with a tiny op before anything
+    # large is traced (first dispatch can take minutes through axon).
+    dev = jax.devices()[0]
+    probe = jax.jit(lambda x: (x @ x).sum())(jnp.ones((128, 128)))
+    jax.block_until_ready(probe)
+
+    H, W = 320, 448
+    (means, cov, sh, opa, extr, intr, near, far, bg) = build_inputs(jax, jnp, H, W)
+    g = means.shape[1]
 
     backend = "pallas"
+    kw = dict(max_per_tile=1024, max_dup=8, tile_chunk=16)
+
+    # --- correctness gate (VERDICT weak#6): pallas vs XLA compositor on the
+    # real device, small scene, before timing anything.
+    gs = 4096
+    small = [a[:, :gs] if a.ndim > 1 and a.shape[1] == g else a for a in (means, cov, sh, opa)]
+    img_p = raster.render(extr, intr, near, far, (64, 128), bg, *small, backend="pallas", **kw)
+    img_x = raster.render(extr, intr, near, far, (64, 128), bg, *small, backend="tiled", **kw)
+    err = float(jnp.max(jnp.abs(img_p - img_x)))
+    assert err < 1e-3, f"pallas/XLA compositor mismatch on device: {err}"
 
     def loss(means, cov, sh, opa, extr):
         img = raster.render(
             extr, intr, near, far, (H, W), bg, means, cov, sh, opa,
-            backend=backend, max_per_tile=1024, max_dup=8, tile_chunk=16,
+            backend=backend, **kw,
         )
         return jnp.mean(img**2)
 
@@ -72,6 +107,10 @@ def main():
     out = step(means, cov, sh, opa, extr)
     jax.block_until_ready(out)
 
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            jax.block_until_ready(step(means, cov, sh, opa, extr))
+
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -81,23 +120,87 @@ def main():
 
     pixels_per_s = H * W / dt
     baseline = 30.0 * H * W  # 30 fps forward-only "real-time" bar
-    print(
-        json.dumps(
+    return {
+        "metric": "rasterize_fwd_bwd_pixels_per_s_per_chip",
+        "value": round(pixels_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(pixels_per_s / baseline, 3),
+        "detail": {
+            "resolution": [H, W],
+            "n_gaussians": int(g),
+            "backend": backend,
+            "step_ms": round(dt * 1e3, 2),
+            "device": str(dev),
+            "pallas_vs_xla_max_err": err,
+        },
+    }
+
+
+def _run_child(profile_dir):
+    try:
+        _emit(measure(profile_dir))
+        return 0
+    except Exception as e:  # noqa: BLE001 — parent decides on retry
+        tb = traceback.format_exc(limit=3)
+        _emit(
             {
                 "metric": "rasterize_fwd_bwd_pixels_per_s_per_chip",
-                "value": round(pixels_per_s, 1),
+                "value": 0.0,
                 "unit": "pixels/s",
-                "vs_baseline": round(pixels_per_s / baseline, 3),
-                "detail": {
-                    "resolution": [H, W],
-                    "n_gaussians": int(g),
-                    "backend": backend,
-                    "step_ms": round(dt * 1e3, 2),
-                    "device": str(jax.devices()[0]),
-                },
+                "vs_baseline": 0.0,
+                "detail": {"error": str(e)[-400:], "traceback_tail": tb[-400:]},
             }
         )
+        return 1
+
+
+def main():
+    profile_dir = None
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--profile" and i + 1 < len(argv):
+            profile_dir = argv[i + 1]
+
+    if "--child" in argv:
+        sys.exit(_run_child(profile_dir))
+
+    # Parent: run the measurement in a fresh subprocess so a stale TPU client
+    # (FailedPrecondition from a previous crashed process) can't poison the
+    # retry; always end by printing exactly one JSON line on our own stdout.
+    import subprocess
+
+    cmd = [sys.executable, __file__, "--child"] + (
+        ["--profile", profile_dir] if profile_dir else []
     )
+    last_line = ""
+    for attempt in range(2):
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600, cwd="/root/repo"
+        )
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        last_line = lines[-1] if lines else ""
+        try:
+            payload = json.loads(last_line)
+        except (json.JSONDecodeError, ValueError):
+            payload = None
+        if proc.returncode == 0 and payload and payload.get("value", 0) > 0:
+            print(last_line, flush=True)
+            return
+        if attempt == 0:
+            time.sleep(20)
+    if last_line:
+        print(last_line, flush=True)
+    else:
+        _emit(
+            {
+                "metric": "rasterize_fwd_bwd_pixels_per_s_per_chip",
+                "value": 0.0,
+                "unit": "pixels/s",
+                "vs_baseline": 0.0,
+                "detail": {"error": "bench child produced no JSON"},
+            }
+        )
+    sys.exit(0)
 
 
 if __name__ == "__main__":
