@@ -129,7 +129,9 @@ class BasicUpdateBlockDepth(nn.Module):
         )(inv_depth, cost)
         inp = jnp.concatenate([context, input_features], axis=-1)
         net = SepConvGRU(self.hidden_dim, name="depth_gru")(net, inp)
-        delta = DepthHead(self.hidden_dim, name="depth_head")(net, act=lambda x: x)
+        # Reference DepthHead default act_fn is tanh (optimizer.py:14,166):
+        # the per-step inverse-depth delta is tanh-squashed.
+        delta = DepthHead(self.hidden_dim, name="depth_head")(net, act=nn.tanh)
         mask = nn.relu(nn.Conv(self.hidden_dim * 2, (3, 3), name="mask1")(net))
         mask = 0.25 * nn.Conv(self.ratio * self.ratio * 9, (1, 1), name="mask2")(mask)
         return net, inv_depth + delta, mask

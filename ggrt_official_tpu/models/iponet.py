@@ -63,7 +63,11 @@ def upsample_depth_convex(depth, mask, ratio, image_size):
     up = up.reshape(b, hf, wf, ratio, ratio)
     up = up.transpose(0, 1, 3, 2, 4).reshape(b, hf * ratio, wf * ratio, 1)
     if (hf * ratio, wf * ratio) != tuple(image_size):
-        up = jax.image.resize(up, (b, *image_size, 1), method="bilinear")
+        # Reference upsample_depth uses align_corners=True
+        # (depth_pose_network.py:64).
+        from .backbone import _resize_bilinear_align_corners
+
+        up = _resize_bilinear_align_corners(up, tuple(image_size))
     return up
 
 

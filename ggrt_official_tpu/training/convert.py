@@ -97,14 +97,136 @@ def encoder_name_map() -> list[tuple[str, tuple[str, ...], str]]:
     return rows
 
 
-def trunk_block_map(stage: int, block: int, bottleneck: bool = True):
-    """torchvision layer{stage}.{block} -> trunk layer{stage}_block{block}."""
-    t = f"backbone.model.layer{stage}.{block}"
-    f = ("backbone", "trunk", f"layer{stage}_block{block}")
+def bn_map(torch_prefix: str, flax_path: tuple[str, ...]):
+    """torch BatchNorm2d -> FrozenBatchNorm (models/backbone.py)."""
+    return [
+        (f"{torch_prefix}.weight", (*flax_path, "scale"), "raw"),
+        (f"{torch_prefix}.bias", (*flax_path, "bias"), "raw"),
+        (f"{torch_prefix}.running_mean", (*flax_path, "mean"), "raw"),
+        (f"{torch_prefix}.running_var", (*flax_path, "var"), "raw"),
+    ]
+
+
+def trunk_block_map(
+    stage: int, block: int, bottleneck: bool = True, downsample: bool = False,
+    torch_root: str = "backbone.model", flax_root: tuple[str, ...] = ("backbone", "trunk"),
+    batch_norm: bool = False,
+):
+    """torchvision layer{stage}.{block} -> trunk layer{stage}_block{block}.
+
+    With instance norm (pixelSplat backbone) the norms are parameter-free;
+    with batch_norm=True (IPO encoder) torch bn{c}/downsample.1 map onto
+    FrozenBatchNorm_{i} params. Flax submodule creation order inside
+    BasicBlock/Bottleneck: Conv_0, [Norm_0,] Conv_1, [Norm_1,] ...
+    downsample conv last."""
+    t = f"{torch_root}.layer{stage}.{block}"
+    f = (*flax_root, f"layer{stage}_block{block}")
     rows = []
     n_convs = 3 if bottleneck else 2
     for c in range(1, n_convs + 1):
         rows += conv_map(f"{t}.conv{c}", (*f, f"Conv_{c-1}"), bias=False)
+        if batch_norm:
+            rows += bn_map(f"{t}.bn{c}", (*f, f"FrozenBatchNorm_{c-1}"))
+    if downsample:
+        rows += conv_map(f"{t}.downsample.0", (*f, f"Conv_{n_convs}"), bias=False)
+        if batch_norm:
+            rows += bn_map(f"{t}.downsample.1", (*f, f"FrozenBatchNorm_{n_convs}"))
+    return rows
+
+
+_RESNET_BLOCKS = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3), "resnet50": (3, 4, 6, 3)}
+
+
+def resnet_encoder_name_map(model: str = "resnet18", stride: int = 8):
+    """Full map for the IPO-Net ResNetEncoder
+    (/root/reference/ggrt/model/feature_network.py:274-381) onto
+    models/backbone.py ResNetEncoder(norm='batch')."""
+    layers = _RESNET_BLOCKS[model]
+    rows = []
+    rows += conv_map("conv1", ("conv1",), bias=False)
+    rows += bn_map("bn1", ("norm1",))
+    for stage in (1, 2, 3):
+        for b in range(layers[stage - 1]):
+            # First block of stage 2/3 strides and widens -> downsample.
+            ds = (stage > 1 and b == 0)
+            rows += trunk_block_map(
+                stage, b, bottleneck=(model == "resnet50"), downsample=ds,
+                torch_root="", flax_root=(), batch_norm=True,
+            )
+    # torch_root="" leaves a leading dot; strip it.
+    rows = [(k.lstrip("."), p, kind) for (k, p, kind) in rows]
+    for name in ("upconv1", "upconv1_fusion") + (
+        ("upconv2", "upconv2_fusion") if stride == 4 else ()
+    ):
+        rows += conv_map(f"{name}.0", (name,))
+    rows += conv_map("out_conv", ("out_conv",))
+    return rows
+
+
+def backbone_resnet_name_map(model: str = "resnet50", num_layers: int = 5):
+    """Full map for the pixelSplat BackboneResnet (instance norm, no norm
+    params) onto models/backbone.py BackboneResnet."""
+    layers = _RESNET_BLOCKS[model]
+    bottleneck = model in ("resnet50", "dino_resnet50")
+    rows = []
+    rows += conv_map("model.conv1", ("trunk", "conv1"), bias=False)
+    for stage in range(1, num_layers):
+        for b in range(layers[stage - 1]):
+            ds = b == 0 and (stage > 1 or bottleneck)
+            rows += trunk_block_map(
+                stage, b, bottleneck=bottleneck, downsample=ds,
+                torch_root="model", flax_root=("trunk",), batch_norm=False,
+            )
+    for i in range(num_layers):
+        rows += conv_map(f"projections.layer{i}", (f"projection{i}",))
+    return rows
+
+
+def prefix_map(rows, torch_prefix: str, flax_prefix: tuple[str, ...]):
+    return [(f"{torch_prefix}.{k}", (*flax_prefix, *p), kind) for (k, p, kind) in rows]
+
+
+def sep_conv_gru_map(torch_prefix: str, flax_path: tuple[str, ...]):
+    """SepConvGRU (ref optimizer.py:51-78) -> models/heads.py SepConvGRU."""
+    rows = []
+    for name in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
+        rows += conv_map(f"{torch_prefix}.{name}", (*flax_path, name))
+    return rows
+
+
+def depth_pose_net_name_map(iters: int = 12):
+    """Full map for the reference DepthPoseNet (depth_pose_network.py:13)
+    onto models/iponet.py IPONet. Covers fnet/cnet trunks (frozen-BN
+    resnet18 stride 8), init heads, upmask net, and both GRU update blocks.
+    """
+    rows: list = []
+    enc = resnet_encoder_name_map("resnet18", stride=8)
+    rows += prefix_map(enc, "fnet", ("fnet",))
+    rows += prefix_map(enc, "cnet_depth", ("cnet_depth",))
+    rows += prefix_map(enc, "cnet_pose", ("cnet_pose",))
+
+    rows += conv_map("depth_head.conv1", ("depth_head", "conv1"))
+    rows += conv_map("depth_head.conv2", ("depth_head", "conv2"))
+    rows += conv_map("pose_head.conv1_pose", ("pose_head", "conv1"))
+    rows += conv_map("pose_head.conv2_pose", ("pose_head", "conv2"))
+    rows += conv_map("upmask_net.mask.0", ("upmask_net", "conv1"))
+    rows += conv_map("upmask_net.mask.2", ("upmask_net", "conv2"))
+
+    d = "update_block_depth"
+    for c in ("convc1", "convc2", "convd1", "convd2", "convd"):
+        rows += conv_map(f"{d}.encoder.{c}", (d, "encoder", c))
+    rows += sep_conv_gru_map(f"{d}.depth_gru", (d, "depth_gru"))
+    rows += conv_map(f"{d}.depth_head.conv1", (d, "depth_head", "conv1"))
+    rows += conv_map(f"{d}.depth_head.conv2", (d, "depth_head", "conv2"))
+    rows += conv_map(f"{d}.mask.0", (d, "mask1"))
+    rows += conv_map(f"{d}.mask.2", (d, "mask2"))
+
+    p = "update_block_pose"
+    for c in ("convc1", "convc2", "convp1", "convp2", "convp"):
+        rows += conv_map(f"{p}.encoder.{c}", (p, "encoder", c))
+    rows += sep_conv_gru_map(f"{p}.pose_gru", (p, "pose_gru"))
+    rows += conv_map(f"{p}.pose_head.conv1_pose", (p, "pose_head", "conv1"))
+    rows += conv_map(f"{p}.pose_head.conv2_pose", (p, "pose_head", "conv2"))
     return rows
 
 

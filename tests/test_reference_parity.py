@@ -1,0 +1,203 @@
+"""Numerical parity vs the ACTUAL reference torch modules (CPU).
+
+VERDICT.md round-1 #2: torch is importable and the reference's modules are
+pure-torch CPU-runnable — so random-init reference module → convert via
+training/convert.py → flax forward must match ≤1e-4 (bf16-cast points in
+the reference relax tolerance where noted). This makes conversion of
+`generalized_llff_best.pth` a mechanical load once a checkpoint is
+available.
+
+Reference modules under test (imported from /root/reference with
+dependency stubs from tests/reference_stubs.py):
+  * ggrt/model/feature_network.py:274 ResNetEncoder (IPO-Net fnet/cnet)
+  * ggrt/model/pixelsplat/encoder/backbone/backbone_resnet.py:28
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests import reference_stubs
+
+reference_stubs.install()
+
+import torch  # noqa: E402
+
+torch.manual_seed(0)
+torch.set_num_threads(2)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ggrt_official_tpu.models import backbone as fx_backbone  # noqa: E402
+from ggrt_official_tpu.training import convert  # noqa: E402
+
+
+def randomize_bn_stats(module: torch.nn.Module, seed: int = 0):
+    """Give running stats non-trivial values so parity actually tests them."""
+    g = torch.Generator().manual_seed(seed)
+    for m in module.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.2)
+            m.running_var.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+
+
+def to_flax_params(torch_module, name_map, template):
+    sd = {k: v.detach().numpy() for k, v in torch_module.state_dict().items()}
+    converted = convert.apply_name_map(sd, name_map)
+    convert.assert_tree_shapes_match(converted, template)
+    merged = convert.merge_params(template, converted)
+    return jax.tree_util.tree_map(jnp.asarray, merged)
+
+
+class TestResNetEncoderParity:
+    @pytest.mark.parametrize("stride", [8, 4])
+    def test_forward(self, stride):
+        from ggrt.model.feature_network import ResNetEncoder as TorchEnc
+
+        tm = TorchEnc(num_layers=18, num_input_images=2, pretrained=False,
+                      out_chs=32, stride=stride).eval()
+        randomize_bn_stats(tm)
+
+        fm = fx_backbone.ResNetEncoder(
+            out_chs=32, stride=stride, model="resnet18", norm="batch"
+        )
+        x = np.random.RandomState(1).rand(2, 6, 64, 96).astype(np.float32)
+        variables = fm.init(jax.random.PRNGKey(0),
+                            jnp.asarray(x.transpose(0, 2, 3, 1)))
+        name_map = convert.resnet_encoder_name_map("resnet18", stride=stride)
+        params = to_flax_params(tm, name_map, variables["params"])
+
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+        out = np.asarray(
+            fm.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        ).transpose(0, 3, 1, 2)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_name_map_covers_all_torch_keys(self):
+        from ggrt.model.feature_network import ResNetEncoder as TorchEnc
+
+        tm = TorchEnc(num_layers=18, num_input_images=1, pretrained=False,
+                      out_chs=32, stride=8)
+        mapped = {k for (k, _, _) in convert.resnet_encoder_name_map("resnet18", 8)}
+        torch_keys = {k for k in tm.state_dict() if "num_batches_tracked" not in k}
+        assert torch_keys == mapped, (
+            f"unmapped: {sorted(torch_keys - mapped)[:5]} "
+            f"extraneous: {sorted(mapped - torch_keys)[:5]}"
+        )
+
+
+class TestDepthPoseNetParity:
+    """Full IPO-Net forward vs /root/reference/ggrt/depth_pose_network.py:100.
+
+    Exercises, end-to-end: ResNetEncoder trunks (frozen BN), init heads,
+    convex depth upsampling, plane-sweep warp costs (Camera reconstruct/
+    project + grid_sample align_corners=True), SepConvGRU update blocks,
+    pose 6-vec (tvec‖euler) convention, and disp_to_depth scaling.
+    """
+
+    def test_full_forward(self):
+        from ggrt.depth_pose_network import DepthPoseNet
+
+        tm = DepthPoseNet(pretrained=False, iters=4).eval()
+        randomize_bn_stats(tm, seed=7)
+
+        h, w = 64, 96
+        rs = np.random.RandomState(3)
+        tgt = rs.rand(1, 3, h, w).astype(np.float32)
+        refs = rs.rand(2, 3, h, w).astype(np.float32)
+        K = np.array([[[80.0, 0, 47.5], [0, 80.0, 31.5], [0, 0, 1]]], np.float32)
+        refK = np.repeat(K, 2, axis=0)
+
+        with torch.no_grad():
+            ref_inv_depth, ref_poses, ref_fmap = tm(
+                None, torch.from_numpy(tgt), torch.from_numpy(refs),
+                torch.from_numpy(K.copy()), torch.from_numpy(refK.copy()),
+                min_depth=0.1, max_depth=100.0,
+                scaled_shape=[torch.tensor(0), torch.tensor(0)],
+            )
+
+        from ggrt_official_tpu.config import IPONetCfg
+        from ggrt_official_tpu.models.iponet import IPONet
+
+        cfg = IPONetCfg(iters=4, seq_len=4, foutput_dim=128,
+                        hidden_dim=128, context_dim=32, feat_ratio=8)
+        fm = IPONet(cfg)
+        args = (jnp.asarray(tgt), jnp.asarray(refs), jnp.asarray(K),
+                jnp.asarray(refK), 0.1, 100.0)
+        variables = fm.init(jax.random.PRNGKey(0), *args)
+        params = to_flax_params(tm, convert.depth_pose_net_name_map(), variables["params"])
+        out = fm.apply({"params": params}, *args)
+
+        inv_depth = np.asarray(out.inv_depths[-1])          # (1, 1, h, w)
+        poses = np.asarray(out.rel_poses[0, :, -1])         # (nv, 6)
+        fmap = np.asarray(out.fmap).transpose(0, 3, 1, 2)   # (1, c, hf, wf)
+
+        np.testing.assert_allclose(fmap, ref_fmap.numpy(), atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            inv_depth, ref_inv_depth.numpy(), atol=1e-4, rtol=1e-3
+        )
+        np.testing.assert_allclose(poses, ref_poses[0].numpy(), atol=1e-4)
+
+    def test_name_map_covers_all_torch_keys(self):
+        from ggrt.depth_pose_network import DepthPoseNet
+
+        tm = DepthPoseNet(pretrained=False, iters=4)
+        mapped = {k for (k, _, _) in convert.depth_pose_net_name_map()}
+        torch_keys = {k for k in tm.state_dict() if "num_batches_tracked" not in k}
+        assert torch_keys == mapped, (
+            f"unmapped: {sorted(torch_keys - mapped)[:6]} "
+            f"extraneous: {sorted(mapped - torch_keys)[:6]}"
+        )
+
+
+class TestBackboneResnetParity:
+    def _make_ref(self, d_out=64, num_layers=3, model="resnet50"):
+        from ggrt.model.pixelsplat.encoder.backbone.backbone_resnet import (
+            BackboneResnet as TorchBackbone,
+            BackboneResnetCfg,
+        )
+
+        cfg = BackboneResnetCfg(
+            name="resnet", model=model, num_layers=num_layers,
+            use_first_pool=False, d_out=d_out,
+        )
+        return TorchBackbone(cfg, d_in=3).eval()
+
+    @pytest.mark.parametrize("model,num_layers", [("resnet50", 3), ("resnet18", 4)])
+    def test_forward(self, model, num_layers):
+        d_out = 32
+        tm = self._make_ref(d_out=d_out, num_layers=num_layers, model=model)
+
+        fm = fx_backbone.BackboneResnet(
+            model=model, num_layers=num_layers, d_out=d_out
+        )
+        x = np.random.RandomState(2).rand(1, 2, 3, 32, 48).astype(np.float32)
+        x_flax = jnp.asarray(x.transpose(0, 1, 3, 4, 2))
+        variables = fm.init(jax.random.PRNGKey(0), x_flax)
+        name_map = convert.backbone_resnet_name_map(model, num_layers)
+        params = to_flax_params(tm, name_map, variables["params"])
+
+        with torch.no_grad():
+            ref = tm({"image": torch.from_numpy(x)}).float().numpy()
+        out = np.asarray(fm.apply({"params": params}, x_flax))
+        out = out.transpose(0, 1, 4, 2, 3)
+        assert out.shape == ref.shape
+        # The reference casts upsampled features to bfloat16 before summing
+        # (backbone_resnet.py:91) — parity is bf16-bounded.
+        scale = np.abs(ref).max() + 1e-8
+        np.testing.assert_allclose(out / scale, ref / scale, atol=2e-2)
+
+    def test_name_map_covers_all_torch_keys(self):
+        tm = self._make_ref(num_layers=3, model="resnet50")
+        mapped = {k for (k, _, _) in convert.backbone_resnet_name_map("resnet50", 3)}
+        torch_keys = set(tm.state_dict().keys())
+        # layer3/4 exist on the torch module but are unused at num_layers=3.
+        torch_keys = {k for k in torch_keys
+                      if not k.startswith(("model.layer3", "model.layer4", "model.fc"))}
+        assert torch_keys == mapped, (
+            f"unmapped: {sorted(torch_keys - mapped)[:8]} "
+            f"extraneous: {sorted(mapped - torch_keys)[:8]}"
+        )
