@@ -30,8 +30,21 @@ _lpips_model = None
 
 
 def lpips(pred: np.ndarray, gt: np.ndarray):
-    """LPIPS(alex) via the torch package when available (eval-only)."""
+    """LPIPS(alex), torch-free (evaluation/lpips_jax.py).
+
+    Weight resolution order: $GGRT_LPIPS_WEIGHTS npz -> torch `lpips`
+    package (if installed) -> None (metric unavailable: we refuse to
+    report LPIPS from random weights; the computation itself is validated
+    in tests/test_lpips.py and becomes live the moment converted weights
+    exist)."""
+    import os
+
     global _lpips_model
+    path = os.environ.get("GGRT_LPIPS_WEIGHTS")
+    if path and os.path.exists(path):
+        from .lpips_jax import lpips_fn
+
+        return lpips_fn(path)(pred, gt)
     try:
         import torch
         import lpips as lpips_pkg

@@ -45,7 +45,8 @@ def _photometric_map(t_est, images, ssim_weight, C1, C2, clip):
     else:
         loss = l1
     if clip > 0.0:
-        mean, std = jnp.mean(loss), jnp.std(loss)
+        # torch.Tensor.std() is the unbiased (n-1) estimator.
+        mean, std = jnp.mean(loss), jnp.std(loss, ddof=1)
         loss = jnp.minimum(loss, mean + clip * std)
     return loss
 
@@ -96,8 +97,10 @@ def photometric_decay_loss(
         smooth_terms = []
         for i in range(n_iters):
             sx, sy = calc_smoothness(inv_depths[i], image)
+            # Reference: (|sx|.mean() + |sy|.mean()) / 2**i — the divisor is
+            # only the per-scale octave factor (photometric_loss.py:438-440).
             smooth_terms.append(
-                (jnp.mean(jnp.abs(sx)) + jnp.mean(jnp.abs(sy))) / 2.0 / (2.0**i)
+                (jnp.mean(jnp.abs(sx)) + jnp.mean(jnp.abs(sy))) / (2.0**i)
             )
         smooth = smooth_weight * jnp.sum(jnp.stack(smooth_terms)) / n_iters
         metrics["smoothness_loss"] = smooth

@@ -62,10 +62,12 @@ class DepthPredictorMonocular(nn.Module):
         s = self.num_samples
         x = nn.relu(features)
         x = nn.Dense(2 * s * self.num_surfaces, name="projection")(x)
-        # "... (dpt srf c)" with c=2 leading in reference rearrange.
-        x = x.reshape(*x.shape[:-1], 2, self.num_surfaces, s)
-        pdf = jax.nn.softmax(x[..., 0, :, :], axis=-1)       # (b, v, r, srf, s)
-        offset = jax.nn.sigmoid(x[..., 1, :, :])
+        # Reference einops "... (dpt srf c) -> c ... srf dpt" (c=2 fastest-
+        # varying, dpt slowest; depth_predictor_monocular.py:53-55) — the
+        # flat channel is ((dpt*srf)+srf_i)*2 + c.
+        x = x.reshape(*x.shape[:-1], s, self.num_surfaces, 2)
+        pdf = jax.nn.softmax(jnp.swapaxes(x[..., 0], -1, -2), axis=-1)  # (b, v, r, srf, s)
+        offset = jax.nn.sigmoid(jnp.swapaxes(x[..., 1], -1, -2))
 
         if deterministic:
             index, pdf_i = gather_discrete_topk(pdf, gaussians_per_pixel)

@@ -28,6 +28,11 @@ class ImageSelfAttention(nn.Module):
 
     cfg: ImageSelfAttentionCfg
     d_out: int
+    # The reference computes the positional encoding but NEVER adds it to
+    # the tokens (image_self_attention.py:75-80 — `xy` is dead after the
+    # projection). Default False reproduces that for checkpoint parity;
+    # True enables the (intended) addition for from-scratch training.
+    add_positional_encoding: bool = False
 
     @nn.compact
     def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
@@ -40,7 +45,8 @@ class ImageSelfAttention(nn.Module):
         tokens = nn.relu(tokens)
         b, nh, nw, _ = tokens.shape
 
-        # Positional encoding of patch-center xy in (0, 1).
+        # Positional encoding of patch-center xy in (0, 1). The projection
+        # layer always exists so converted checkpoints line up.
         pe = PositionalEncoding(c.num_octaves)
         x = (jnp.arange(nw) + 0.5) / nw
         y = (jnp.arange(nh) + 0.5) / nh
@@ -48,7 +54,9 @@ class ImageSelfAttention(nn.Module):
         xy = jnp.stack([xx, yy], axis=-1)
         pos = nn.Dense(c.d_token, name="pos_proj")(pe(xy))
 
-        tokens = (tokens + pos[None]).reshape(b, nh * nw, c.d_token)
+        if self.add_positional_encoding:
+            tokens = tokens + pos[None]
+        tokens = tokens.reshape(b, nh * nw, c.d_token)
         tokens = Transformer(
             c.d_token, c.num_layers, c.num_heads, c.d_dot, c.d_mlp, name="transformer"
         )(tokens)

@@ -82,18 +82,110 @@ def conv_map(torch_prefix: str, flax_path: tuple[str, ...], bias: bool = True):
     return rows
 
 
-def encoder_name_map() -> list[tuple[str, tuple[str, ...], str]]:
-    """Name map for the pixelSplat encoder head layers whose architectures
-    correspond 1:1 (backbone projections, to_gaussians, depth predictor,
-    high-res skip). The resnet trunk maps stage-by-stage via
-    `trunk_block_map` below."""
+def ln_map(torch_prefix: str, flax_path: tuple[str, ...]):
+    """torch LayerNorm -> flax LayerNorm (weight->scale)."""
+    return [
+        (f"{torch_prefix}.weight", (*flax_path, "scale"), "raw"),
+        (f"{torch_prefix}.bias", (*flax_path, "bias"), "raw"),
+    ]
+
+
+def conv_transpose_map(torch_prefix: str, flax_path: tuple[str, ...]):
+    return [
+        (f"{torch_prefix}.weight", (*flax_path, "kernel"), "conv_transpose"),
+        (f"{torch_prefix}.bias", (*flax_path, "bias"), "bias"),
+    ]
+
+
+def transformer_name_map(
+    torch_prefix: str, flax_path: tuple[str, ...], depth: int,
+    selfatt: bool = True, conv_ff: bool = False, sa_cfg=None,
+):
+    """srt Transformer (ref transformer/transformer.py:32) -> models/
+    transformer.py Transformer. PreNorm wraps each sublayer: torch
+    layers.{i}.0 = attention, layers.{i}.1 = feed-forward."""
+    rows: list = []
+    for i in range(depth):
+        a = f"{torch_prefix}.layers.{i}.0"
+        rows += ln_map(f"{a}.norm", (*flax_path, f"attn_norm_{i}"))
+        if selfatt:
+            rows.append((f"{a}.fn.to_qkv.weight", (*flax_path, f"attn_{i}", "to_qkv", "kernel"), "dense"))
+        else:
+            rows.append((f"{a}.fn.to_q.weight", (*flax_path, f"attn_{i}", "to_q", "kernel"), "dense"))
+            rows.append((f"{a}.fn.to_kv.weight", (*flax_path, f"attn_{i}", "to_kv", "kernel"), "dense"))
+        rows += dense_map(f"{a}.fn.to_out.0", (*flax_path, f"attn_{i}", "to_out"))
+        f = f"{torch_prefix}.layers.{i}.1"
+        rows += ln_map(f"{f}.norm", (*flax_path, f"ff_norm_{i}"))
+        if conv_ff:
+            rows += conv_map(f"{f}.fn.layers.0", (*flax_path, f"ff_{i}", "conv1"))
+            rows += conv_map(f"{f}.fn.layers.3", (*flax_path, f"ff_{i}", "conv2"))
+            rows += image_self_attention_name_map(
+                f"{f}.fn.self_attention", (*flax_path, f"ff_{i}", "self_attn"), sa_cfg
+            )
+        else:
+            rows += dense_map(f"{f}.fn.net.0", (*flax_path, f"ff_{i}", "Dense_0"))
+            rows += dense_map(f"{f}.fn.net.3", (*flax_path, f"ff_{i}", "Dense_1"))
+    return rows
+
+
+def image_self_attention_name_map(torch_prefix: str, flax_path: tuple[str, ...], cfg):
+    """ref epipolar/image_self_attention.py:23 -> epipolar_transformer.py
+    ImageSelfAttention. `cfg` needs .num_layers (inner transformer depth)."""
+    rows: list = []
+    rows += dense_map(f"{torch_prefix}.positional_encoding.1", (*flax_path, "pos_proj"))
+    rows += conv_map(f"{torch_prefix}.patch_embedder.0", (*flax_path, "patch_embedder"))
+    rows += transformer_name_map(
+        f"{torch_prefix}.transformer", (*flax_path, "transformer"),
+        cfg.num_layers, selfatt=True, conv_ff=False,
+    )
+    rows += conv_transpose_map(f"{torch_prefix}.resampler", (*flax_path, "resampler"))
+    return rows
+
+
+def epipolar_transformer_name_map(cfg, torch_prefix="epipolar_transformer",
+                                  flax_path=("epipolar_transformer",)):
+    """ref epipolar/epipolar_transformer.py:30 -> models/epipolar_transformer.py.
+    `cfg` is our EpipolarTransformerCfg (num_octaves/num_layers/downscale +
+    .self_attention)."""
+    rows: list = []
+    if cfg.num_octaves > 0:
+        rows += dense_map(f"{torch_prefix}.depth_encoding.1", (*flax_path, "depth_proj"))
+    rows += transformer_name_map(
+        f"{torch_prefix}.transformer", (*flax_path, "transformer"),
+        cfg.num_layers, selfatt=False, conv_ff=True, sa_cfg=cfg.self_attention,
+    )
+    if cfg.downscale:
+        rows += conv_map(f"{torch_prefix}.downscaler", (*flax_path, "downscaler"))
+        rows += conv_transpose_map(f"{torch_prefix}.upscaler", (*flax_path, "upscaler"))
+        rows += conv_map(f"{torch_prefix}.upscale_refinement.0", (*flax_path, "refine1"))
+        rows += conv_map(f"{torch_prefix}.upscale_refinement.2", (*flax_path, "refine2"))
+    return rows
+
+
+def encoder_name_map(cfg=None) -> list[tuple[str, tuple[str, ...], str]]:
+    """Full name map for the pixelSplat EncoderEpipolar
+    (ref encoder_epipolar.py:55) onto models/encoder_epipolar.py.
+
+    With cfg=None returns only the head layers (round-1 behavior); with our
+    EncoderCfg it covers the backbone trunk and epipolar transformer too.
+    """
     rows: list = []
     rows += dense_map("backbone_projection.1", ("backbone_projection",))
     rows += dense_map("depth_predictor.projection.1", ("depth_predictor", "projection"))
     rows += dense_map("to_gaussians.1", ("to_gaussians",))
     rows += conv_map("high_resolution_skip.0", ("high_resolution_skip",))
-    for i in range(5):
-        rows += conv_map(f"backbone.projections.layer{i}", (f"backbone", f"projection{i}"))
+    if cfg is None:
+        for i in range(5):
+            rows += conv_map(f"backbone.projections.layer{i}", ("backbone", f"projection{i}"))
+        return rows
+    rows += prefix_map(
+        backbone_resnet_name_map(cfg.backbone.model, cfg.backbone.num_layers),
+        "backbone", ("backbone",),
+    )
+    if cfg.use_epipolar_transformer:
+        rows += epipolar_transformer_name_map(cfg.epipolar_transformer)
+    if cfg.predict_opacity:
+        rows += dense_map("to_opacity.1", ("to_opacity",))
     return rows
 
 
