@@ -3,6 +3,13 @@ from __future__ import annotations
 
 from .collections import IBRNetCollectedDataset, LLFFDataset
 from .datasets import LLFFTestDataset, SyntheticPlanesDataset
+from .extra_datasets import (
+    DeepVoxelsDataset,
+    GoogleScannedDataset,
+    KittiDataset,
+    RealEstateDataset,
+    SpacesFreeDataset,
+)
 from .nerf_synthetic import NerfSyntheticDataset
 from .scannet import ScannetDataset
 from .waymo import WaymoStaticDataset
@@ -15,4 +22,9 @@ dataset_dict = {
     "nerf_synthetic": NerfSyntheticDataset,
     "scannet": ScannetDataset,
     "synthetic": SyntheticPlanesDataset,
+    "realestate": RealEstateDataset,
+    "kitti": KittiDataset,
+    "deepvoxels": DeepVoxelsDataset,
+    "google_scanned": GoogleScannedDataset,
+    "spaces": SpacesFreeDataset,
 }

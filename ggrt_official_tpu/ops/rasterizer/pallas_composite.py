@@ -1,25 +1,39 @@
 """Pallas TPU kernels for per-tile alpha compositing (fwd + custom VJP).
 
-The speed-of-light path replacing the XLA `composite.py` fallback: each
-8x128 screen tile is one grid step; the tile's K-deep Gaussian list lives
-in VMEM; pixels fill exactly one f32 VPU register tile (8 sublanes x 128
-lanes); the per-Gaussian loop runs front-to-back with CUDA-identical
-semantics (alpha clamp 0.99, skip < 1/255, transmittance early-out 1e-4 —
-see SURVEY.md §2.1 and projection.py constants).
+Round-2 redesign: the round-1 kernel walked one Gaussian per loop step and
+paid 9 scalar VMEM loads per Gaussian (~154 ms/step fwd+bwd). This version
+reformulates compositing as MXU matmuls over 128-Gaussian chunks:
 
-The backward kernel re-walks each tile back-to-front, reconstructing the
-transmittance from the forward's final T (division by (1-alpha), the CUDA
-trick) and accumulating dL/d{mean2d, conic, color, opacity} per Gaussian —
-all Gaussian/camera gradients then flow through JAX AD outside the kernel
-via the gather's scatter-add transpose.
+  * records are stored component-major (tiles, 8, K) holding the CHOLESKY
+    factorization of each Gaussian's conic + its tile-LOCAL mean folded
+    into linear coefficients: rows [l00, l01, cu, l11, cv, log_op, 0, 0]
+    so that u = l00·x + l01·y + cu, v = l11·y + cv are screen-space
+    whitened offsets and power = log_op - (u² + v²)/2. Three tiny matmuls
+    ((3,128)×(3,1024)) evaluate u, v and broadcast log_op for a whole
+    chunk at once — no scalar loads, no catastrophic cancellation (the
+    quadratic-basis alternative x²·(-ca/2)+... loses ~3 digits for
+    anisotropic far-center Gaussians).
+  * transmittance is an inclusive cumprod of (1-alpha) along the Gaussian
+    (sublane) axis via 7 Hillis-Steele roll steps; the CUDA early-stop
+    semantics (contribute iff T·Π(1-α) ≥ 1e-4, which self-latches because
+    T is monotone) fall out as a single comparison.
+  * per-tile dynamic work: a while-loop over ceil(count/128) chunks that
+    also exits early once every pixel's transmittance is dead — the
+    per-pixel early termination the CUDA kernel gets for free.
+  * backward re-walks executed chunks back-to-front with the same matmul
+    structure; suffix sums along the Gaussian axis are the same
+    Hillis-Steele rolls. Gradients flow to the record/color tensors; JAX
+    AD chains them to Gaussian params and camera through the (pure-jnp)
+    record construction and the gather's scatter-add transpose.
 
-Record layout (t, K, 8): [mean_x, mean_y, conic_a, conic_b, conic_c,
-opacity, _, _] and colors (t, K, 4): [r, g, b, _] — padded so lane loads
-stay aligned.
+CUDA-parity semantics (alpha clamp 0.99, skip < 1/255, transmittance
+early-out 1e-4) match /root/reference's external rasterizer contract
+(SURVEY.md §2.1, cuda_splatting.py:118-125).
 """
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -29,280 +43,304 @@ from jax.experimental.pallas import tpu as pltpu
 from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS, ProjectedGaussians
 from .tiling import TILE_H, TILE_W, TileBinning
 
-
-def _pixel_coords(tile_y, tile_x, dtype):
-    py = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    px = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    x = (tile_x * TILE_W + px).astype(dtype)
-    y = (tile_y * TILE_H + py).astype(dtype)
-    return x, y
+_CH = 128                      # gaussians per chunk (sublane axis)
+_P = TILE_H * TILE_W           # pixels per tile (lane axis)
+LOG_AMAX = math.log(ALPHA_MAX)
+LOG_AMIN = math.log(ALPHA_MIN)
+_PREC = jax.lax.Precision.HIGHEST
 
 
-def _fwd_kernel(ntx_ref, rec_ref, col_ref, bg_ref, out_ref, tfin_ref, ncontrib_ref):
+def _basis():
+    """(3, P) pixel basis [x_local, y_local, 1] with tile-centered coords."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (3, _P), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (3, _P), 0)
+    px = (p % TILE_W).astype(jnp.float32) - (TILE_W - 1) / 2.0
+    py = (p // TILE_W).astype(jnp.float32) - (TILE_H - 1) / 2.0
+    return jnp.where(r == 0, px, jnp.where(r == 1, py, 1.0))
+
+
+def _cumprod_sublanes(x):
+    """Inclusive cumprod along axis 0 via Hillis-Steele rolls."""
+    n = x.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    s = 1
+    while s < n:
+        x = x * jnp.where(ids >= s, pltpu.roll(x, s, 0), 1.0)
+        s *= 2
+    return x
+
+
+def _suffix_sum_excl_sublanes(x):
+    """Exclusive suffix sum along axis 0 (sum over j > i)."""
+    n = x.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    v = x
+    s = 1
+    while s < n:
+        x = x + jnp.where(ids < n - s, pltpu.roll(x, n - s, 0), 0.0)
+        s *= 2
+    return x - v
+
+
+def _chunk_quantities(B, A):
+    """Shared fwd/bwd per-chunk math: (power2, alpha, om) each (CH, P)."""
+    dn = (((0,), (0,)), ((), ()))
+    u = jax.lax.dot_general(B[0:3], A, dn, preferred_element_type=jnp.float32,
+                            precision=_PREC)
+    v = jax.lax.dot_general(B[3:5], A[1:3], dn,
+                            preferred_element_type=jnp.float32, precision=_PREC)
+    s = jax.lax.dot_general(B[5:6], A[2:3], dn,
+                            preferred_element_type=jnp.float32, precision=_PREC)
+    power2 = s - 0.5 * (u * u + v * v)
+    alpha = jnp.exp(jnp.minimum(LOG_AMAX, power2))
+    alpha = jnp.where(power2 >= LOG_AMIN, alpha, 0.0)
+    return power2, alpha, 1.0 - alpha
+
+
+def _fwd_kernel(counts_ref, rec_ref, col_ref, acc_ref, tst_ref, nexec_ref):
+    K = rec_ref.shape[2]
+    nch = K // _CH
+    A = _basis()
     t = pl.program_id(0)
-    ntx = ntx_ref[0]
-    tile_y = t // ntx
-    tile_x = t % ntx
-    K = rec_ref.shape[1]
+    need = jnp.minimum((counts_ref[t] + _CH - 1) // _CH, nch)
 
-    x, y = _pixel_coords(tile_y, tile_x, rec_ref.dtype)
+    def body(carry):
+        c, T_run, acc = carry
+        tst_ref[0, pl.ds(c, 1), :] = T_run
+        B = rec_ref[0, :, pl.ds(c * _CH, _CH)]
+        C = col_ref[0, :, pl.ds(c * _CH, _CH)]
+        _, alpha, om = _chunk_quantities(B, A)
+        Tw = _cumprod_sublanes(om)
+        TT = T_run * Tw                      # (CH, P): T *after* gaussian g
+        contrib = TT >= T_EPS
+        w = jnp.where(contrib, alpha * TT / om, 0.0)
+        acc = acc + jax.lax.dot_general(
+            C, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        T_new = jnp.min(jnp.where(contrib, TT, T_run), axis=0, keepdims=True)
+        return c + 1, T_new, acc
 
-    def body(k, carry):
-        # `done` is a float 0/1 mask: Mosaic cannot legalize i1-vector loop
-        # carries (scf.for legalization failure), floats work everywhere.
-        T_run, done, acc_r, acc_g, acc_b, n_contrib = carry
-        mx = rec_ref[0, k, 0]
-        my = rec_ref[0, k, 1]
-        ca = rec_ref[0, k, 2]
-        cb = rec_ref[0, k, 3]
-        cc = rec_ref[0, k, 4]
-        op = rec_ref[0, k, 5]
-        dx = x - mx
-        dy = y - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-        alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
+    def cond(carry):
+        c, T_run, _ = carry
+        return (c < need) & (jnp.max(T_run) >= T_EPS)
 
-        test = T_run * (1.0 - alpha)
-        newly_done = (test < T_EPS).astype(T_run.dtype)
-        contribute = (1.0 - jnp.maximum(done, newly_done)) * (alpha > 0.0).astype(T_run.dtype)
-        w = contribute * alpha * T_run
-        acc_r = acc_r + w * col_ref[0, k, 0]
-        acc_g = acc_g + w * col_ref[0, k, 1]
-        acc_b = acc_b + w * col_ref[0, k, 2]
-        T_run = jnp.where(contribute > 0, test, T_run)
-        n_contrib = jnp.where(contribute > 0, k + 1, n_contrib)
-        done = jnp.maximum(done, newly_done)
-        return T_run, done, acc_r, acc_g, acc_b, n_contrib
+    c0 = jnp.zeros((), jnp.int32)
+    T0 = jnp.ones((1, _P), jnp.float32)
+    acc0 = jnp.zeros((4, _P), jnp.float32)
+    c_fin, T_fin, acc_fin = jax.lax.while_loop(cond, body, (c0, T0, acc0))
 
-    shape = (TILE_H, TILE_W)
-    init = (
-        jnp.ones(shape, rec_ref.dtype),
-        jnp.zeros(shape, rec_ref.dtype),
-        jnp.zeros(shape, rec_ref.dtype),
-        jnp.zeros(shape, rec_ref.dtype),
-        jnp.zeros(shape, rec_ref.dtype),
-        jnp.zeros(shape, jnp.int32),
-    )
-    # Manual 4x unroll (Mosaic's fori_loop only supports unroll=1/full):
-    # amortizes loop control over four gaussians; K is a lane multiple.
-    def body4(q, carry):
-        for j in range(_UNROLL):
-            carry = body(q * _UNROLL + j, carry)
-        return carry
-
-    T_run, done, acc_r, acc_g, acc_b, n_contrib = jax.lax.fori_loop(
-        0, K // _UNROLL, body4, init
-    )
-
-    out_ref[0, 0] = acc_r + T_run * bg_ref[0]
-    out_ref[0, 1] = acc_g + T_run * bg_ref[1]
-    out_ref[0, 2] = acc_b + T_run * bg_ref[2]
-    tfin_ref[0] = T_run
-    ncontrib_ref[0] = n_contrib
-
-
-_LANES = 128
-_UNROLL = 8
+    rows = jax.lax.broadcasted_iota(jnp.int32, (4, _P), 0)
+    acc_ref[0] = jnp.where(rows == 3, T_fin, acc_fin)
+    # Executed-chunk count, broadcast to an (8, 128) vector tile (Mosaic
+    # cannot store scalars to VMEM; SMEM outputs reject per-grid-step
+    # block maps; VMEM blocks need (8, 128)-aligned trailing dims).
+    nexec_ref[0] = jnp.full((8, 128), c_fin.astype(jnp.float32))
 
 
 def _bwd_kernel(
-    ntx_ref, rec_ref, col_ref, bg_ref, tfin_ref, ncontrib_ref, gout_ref,
-    dstage_ref,
+    nexec_ref, rec_ref, col_ref, tst_ref, acc_ref, g_ref, drec_ref, dcol_ref
 ):
-    """Back-to-front gradient walk.
+    K = rec_ref.shape[2]
+    A = _basis()
+    nexec = nexec_ref[0, 0, 0].astype(jnp.int32)
 
-    Mosaic cannot store scalars to VMEM, so per-Gaussian gradients are
-    staged into an (12, 128) register block — component on sublanes,
-    gaussian (k mod 128) on lanes, set via iota masks — and flushed with
-    one vector store per 128 Gaussians. The output is component-major
-    (t, 16, K): rows 0-5 = d{mean_x, mean_y, conic_a, conic_b, conic_c,
-    opacity}, rows 6-8 = dcolor rgb, rows 9-15 zero.
-    """
-    t = pl.program_id(0)
-    ntx = ntx_ref[0]
-    tile_y = t // ntx
-    tile_x = t % ntx
-    K = rec_ref.shape[1]
+    drec_ref[0] = jnp.zeros((8, K), jnp.float32)
+    dcol_ref[0] = jnp.zeros((4, K), jnp.float32)
 
-    x, y = _pixel_coords(tile_y, tile_x, tfin_ref.dtype)
-    g_r = gout_ref[0, 0]
-    g_g = gout_ref[0, 1]
-    g_b = gout_ref[0, 2]
-    T_final = tfin_ref[0]
-    n_contrib = ncontrib_ref[0]
-    g_dot_bg = g_r * bg_ref[0] + g_g * bg_ref[1] + g_b * bg_ref[2]
+    tfin = acc_ref[0, 3:4, :]                # (1, P) frozen final T
+    dacc = g_ref[0]                          # (4, P); row 3 = d(tfin)
+    bgterm = g_ref[0, 3:4, :] * tfin         # (1, P)
 
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (16, _LANES), 1)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (16, _LANES), 0)
+    def body(i, accum):
+        c = nexec - 1 - i
+        B = rec_ref[0, :, pl.ds(c * _CH, _CH)]
+        C = col_ref[0, :, pl.ds(c * _CH, _CH)]
+        power2, alpha, om = _chunk_quantities(B, A)
+        Tw = _cumprod_sublanes(om)
+        T_start = tst_ref[0, pl.ds(c, 1), :]
+        TT = T_start * Tw
+        contrib = TT >= T_EPS
+        Tb = TT / om
+        w = jnp.where(contrib, alpha * Tb, 0.0)
 
-    def body(i, carry):
-        # Walk back-to-front: k = K-1-i.
-        T_next, accum, staging = carry
-        k = K - 1 - i
-        mx = rec_ref[0, k, 0]
-        my = rec_ref[0, k, 1]
-        ca = rec_ref[0, k, 2]
-        cb = rec_ref[0, k, 3]
-        cc = rec_ref[0, k, 4]
-        op = rec_ref[0, k, 5]
-        cr = col_ref[0, k, 0]
-        cg = col_ref[0, k, 1]
-        cb_col = col_ref[0, k, 2]
-
-        dx = x - mx
-        dy = y - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        G = jnp.exp(power)
-        raw_alpha = op * G
-        alpha = jnp.minimum(ALPHA_MAX, raw_alpha)
-        valid = (power <= 0.0) & (alpha >= ALPHA_MIN)
-        alpha = jnp.where(valid, alpha, 0.0)
-        live = valid & (k < n_contrib)
-
-        one_minus = jnp.where(live, 1.0 - alpha, 1.0)
-        T_i = T_next / one_minus  # transmittance before gaussian k
-        S = jnp.where(live, alpha * T_i, 0.0)
-
-        g_dot_c = g_r * cr + g_g * cg + g_b * cb_col
-        live_f = live.astype(T_i.dtype)
-        dalpha = live_f * (g_dot_c * T_i - (accum + g_dot_bg * T_final) / one_minus)
-        not_clamped = (raw_alpha < ALPHA_MAX).astype(T_i.dtype)
-        dG = not_clamped * op * dalpha
-        dop_pix = not_clamped * G * dalpha
-        dpower = dG * G
-
-        grads = jnp.stack(
-            [
-                jnp.sum((ca * dx + cb * dy) * dpower),   # dmx
-                jnp.sum((cc * dy + cb * dx) * dpower),   # dmy
-                jnp.sum(-0.5 * dx * dx * dpower),        # dca
-                jnp.sum(-dx * dy * dpower),              # dcb
-                jnp.sum(-0.5 * dy * dy * dpower),        # dcc
-                jnp.sum(dop_pix),                        # dop
-                jnp.sum(g_r * S),                        # dcol r
-                jnp.sum(g_g * S),                        # dcol g
-                jnp.sum(g_b * S),                        # dcol b
-            ]
+        dn_p = (((1,), (1,)), ((), ()))      # contract pixel axes
+        dwdot = jax.lax.dot_general(         # (CH, P): dL/dw per pixel
+            C, dacc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
         )
-        # Scatter the 9 scalars into staging[(0..8), k % 128] via masks.
-        lane = k % _LANES
-        col_mask = lane_ids == lane
-        update = jnp.zeros_like(staging)
-        for c in range(9):
-            update = update + jnp.where(
-                col_mask & (row_ids == c), grads[c], 0.0
-            )
-        staging = staging + update
+        dcol_ref[0, :, pl.ds(c * _CH, _CH)] = jax.lax.dot_general(
+            dacc, w, dn_p, preferred_element_type=jnp.float32, precision=_PREC
+        )
 
-        # Flush when the descending walk finishes a 128-lane block.
-        @pl.when(lane == 0)
-        def _():
-            block = pl.multiple_of(k, _LANES)
-            dstage_ref[0, :, pl.ds(block, _LANES)] = staging
+        vchunk = dwdot * w
+        sfx = _suffix_sum_excl_sublanes(vchunk)
+        dalpha = jnp.where(
+            contrib, dwdot * Tb - (sfx + accum + bgterm) / om, 0.0
+        )
+        dpower2 = dalpha * alpha * (power2 < LOG_AMAX)
 
-        staging = jnp.where(lane == 0, jnp.zeros_like(staging), staging)
+        du = jax.lax.dot_general(
+            B[0:3], A, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        ) * (-dpower2)
+        dv = jax.lax.dot_general(
+            B[3:5], A[1:3], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        ) * (-dpower2)
+        dB03 = jax.lax.dot_general(
+            A, du, dn_p, preferred_element_type=jnp.float32, precision=_PREC
+        )                                     # (3, CH)
+        dB34 = jax.lax.dot_general(
+            A[1:3], dv, dn_p, preferred_element_type=jnp.float32, precision=_PREC
+        )                                     # (2, CH)
+        dB5 = jax.lax.dot_general(
+            A[2:3], dpower2, dn_p, preferred_element_type=jnp.float32,
+            precision=_PREC,
+        )                                     # (1, CH)
+        drec_ref[0, 0:3, pl.ds(c * _CH, _CH)] = dB03
+        drec_ref[0, 3:5, pl.ds(c * _CH, _CH)] = dB34
+        drec_ref[0, 5:6, pl.ds(c * _CH, _CH)] = dB5
 
-        accum = accum + g_dot_c * S
-        return T_i, accum, staging
+        return accum + jnp.sum(vchunk, axis=0, keepdims=True)
 
-    shape = (TILE_H, TILE_W)
-    def body4(q, carry):
-        for j in range(_UNROLL):
-            carry = body(q * _UNROLL + j, carry)
-        return carry
-
-    jax.lax.fori_loop(
-        0, K // _UNROLL, body4,
-        (T_final, jnp.zeros(shape, tfin_ref.dtype), jnp.zeros((16, _LANES), tfin_ref.dtype)),
-    )
+    jax.lax.fori_loop(0, nexec, body, jnp.zeros((1, _P), jnp.float32))
 
 
-def _composite_fwd_raw(records, colors, background, ntx_arr, num_tiles):
-    K = records.shape[1]
-    grid = (num_tiles,)
-    out, tfin, ncontrib = pl.pallas_call(
-        _fwd_kernel,
-        grid=grid,
+def _fwd_raw(records, colors, counts):
+    num_tiles, _, K = records.shape
+    nch = K // _CH
+    flops_tile = nch * (2 * 8 * _CH * _P + 2 * _CH * _CH * _P // 16)
+    counts_i = counts.reshape(-1).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            # NOTE: records in SMEM would make the per-gaussian scalar
-            # loads cheaper, but the full K-deep list overflows the 1MB SMEM
-            # (padding inflates (K, 8) blocks ~16x). Round-2: chunked
-            # VMEM->SMEM copies. VMEM scalar loads are correct, just slower.
-            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, K), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 4, K), lambda t, *_: (t, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, TILE_H, TILE_W), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, _P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, nch, _P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0)),
+        ],
+    )
+    acc, tst, nexec = pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 4, _P), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, nch, _P), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=num_tiles * flops_tile,
+            bytes_accessed=num_tiles * (12 * K + 4 * _P * (nch + 4)) * 4,
+            transcendentals=num_tiles * nch * _CH * _P,
+        ),
+    )(counts_i, records, colors)
+    return acc, tst, nexec
+
+
+def _bwd_raw(records, colors, tst, nexec, acc, gout):
+    num_tiles, _, K = records.shape
+    nch = K // _CH
+    drec, dcol = pl.pallas_call(
+        _bwd_kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nch, _P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, _P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, _P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 3, TILE_H, TILE_W), records.dtype),
-            jax.ShapeDtypeStruct((num_tiles, TILE_H, TILE_W), records.dtype),
-            jax.ShapeDtypeStruct((num_tiles, TILE_H, TILE_W), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, 8, K), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 4, K), jnp.float32),
         ],
-    )(ntx_arr, records, colors, background)
-    return out, tfin, ncontrib
-
-
-def _composite_bwd_raw(records, colors, background, ntx_arr, tfin, ncontrib, gout, num_tiles):
-    K = records.shape[1]
-    grid = (num_tiles,)
-    dstage = pl.pallas_call(
-        _bwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TILE_H, TILE_W), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 16, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 16, K), records.dtype),
-    )(ntx_arr, records, colors, background, tfin, ncontrib, gout)
-    # Component-major (t, 16, K) -> cotangents matching the fwd inputs.
-    drec = jnp.concatenate(
-        [jnp.swapaxes(dstage[:, :6], 1, 2), jnp.zeros((num_tiles, K, 2), records.dtype)],
-        axis=-1,
-    )
-    dcol = jnp.concatenate(
-        [jnp.swapaxes(dstage[:, 6:9], 1, 2), jnp.zeros((num_tiles, K, 1), records.dtype)],
-        axis=-1,
-    )
+        cost_estimate=pl.CostEstimate(
+            flops=3 * num_tiles * (K // _CH) * (2 * 8 * _CH * _P),
+            bytes_accessed=num_tiles * (24 * K + 4 * _P * (K // _CH + 8)) * 4,
+            transcendentals=num_tiles * K * _P,
+        ),
+    )(nexec, records, colors, tst, acc, gout)
     return drec, dcol
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _composite_tiles_core(records, colors, background, ntx, num_tiles):
-    ntx_arr = jnp.array([ntx], jnp.int32)
-    out, _, _ = _composite_fwd_raw(records, colors, background, ntx_arr, num_tiles)
-    return out
+@jax.custom_vjp
+def _composite_core(records, colors, counts):
+    acc, _, _ = _fwd_raw(records, colors, counts)
+    return acc
 
 
-def _core_fwd(records, colors, background, ntx, num_tiles):
-    ntx_arr = jnp.array([ntx], jnp.int32)
-    out, tfin, ncontrib = _composite_fwd_raw(records, colors, background, ntx_arr, num_tiles)
-    return out, (records, colors, background, tfin, ncontrib)
+def _core_fwd(records, colors, counts):
+    acc, tst, nexec = _fwd_raw(records, colors, counts)
+    return acc, (records, colors, counts, tst, nexec, acc)
 
 
-def _core_bwd(ntx, num_tiles, residuals, gout):
-    records, colors, background, tfin, ncontrib = residuals
-    ntx_arr = jnp.array([ntx], jnp.int32)
-    drec, dcol = _composite_bwd_raw(
-        records, colors, background, ntx_arr, tfin, ncontrib, gout, num_tiles
-    )
-    # dL/dbackground = sum over pixels of g * T_final.
-    dbg = jnp.einsum("tchw,thw->c", gout, tfin)
-    return drec, dcol, dbg
+def _core_bwd(res, gout):
+    records, colors, counts, tst, nexec, acc = res
+    drec, dcol = _bwd_raw(records, colors, tst, nexec, acc, gout)
+    return drec, dcol, jnp.zeros_like(counts)
 
 
-_composite_tiles_core.defvjp(_core_fwd, _core_bwd)
+_composite_core.defvjp(_core_fwd, _core_bwd)
+
+
+def build_records(pg: ProjectedGaussians, binning: TileBinning):
+    """Gather per-tile Gaussian lists into component-major record tensors.
+
+    Pure differentiable jnp: JAX AD transposes the gathers into
+    scatter-adds and chains conic→Cholesky, mean→linear-coefficient
+    gradients automatically.
+    """
+    nty, ntx = binning.num_tiles_y, binning.num_tiles_x
+    num_tiles = nty * ntx
+    ids = binning.gaussian_ids
+    K = ids.shape[1]
+    K_pad = max(_CH, -(-K // _CH) * _CH)
+    if K_pad != K:
+        ids = jnp.pad(ids, ((0, 0), (0, K_pad - K)), constant_values=-1)
+
+    safe_ids = jnp.maximum(ids, 0)
+    present = (ids >= 0).astype(jnp.float32)
+
+    mean2d = pg.mean2d[safe_ids]                      # (t, K, 2)
+    conic = pg.conic[safe_ids]                        # (t, K, 3)
+    color = pg.color[safe_ids]                        # (t, K, 3)
+    opacity = pg.opacity[safe_ids] * present          # (t, K)
+
+    t_idx = jnp.arange(num_tiles, dtype=jnp.float32)
+    ox = (t_idx % ntx) * TILE_W + (TILE_W - 1) / 2.0
+    oy = (t_idx // ntx) * TILE_H + (TILE_H - 1) / 2.0
+    mx = mean2d[..., 0] - ox[:, None]
+    my = mean2d[..., 1] - oy[:, None]
+
+    ca, cb, cc = conic[..., 0], conic[..., 1], conic[..., 2]
+    # Cholesky of the conic [[ca, cb], [cb, cc]]; invalid (padded/culled)
+    # entries are clamped to keep sqrt-gradients finite — their alpha is
+    # killed by log_op = log(0) → power below the 1/255 cutoff.
+    ca_s = jnp.maximum(ca, 1e-12)
+    l00 = jnp.sqrt(ca_s)
+    l01 = cb / l00
+    l11 = jnp.sqrt(jnp.maximum(cc - l01 * l01, 1e-12))
+    cu = -(l00 * mx + l01 * my)
+    cv = -l11 * my
+    log_op = jnp.log(jnp.maximum(opacity, 1e-35))
+
+    zeros = jnp.zeros_like(ca)
+    records = jnp.stack([l00, l01, cu, l11, cv, log_op, zeros, zeros], axis=1)
+    colors = jnp.stack(
+        [color[..., 0], color[..., 1], color[..., 2], jnp.zeros_like(ca)], axis=1
+    )  # (t, 4, K)
+    counts = binning.counts.astype(jnp.float32)[:, None]  # (t, 1)
+    return records, colors, counts
 
 
 def composite_tiles_pallas(
@@ -314,38 +352,13 @@ def composite_tiles_pallas(
     """Drop-in replacement for composite.composite_tiles (Pallas backend)."""
     h, w = image_shape
     nty, ntx = binning.num_tiles_y, binning.num_tiles_x
-    num_tiles = nty * ntx
-    dtype = pg.mean2d.dtype
 
-    ids = binning.gaussian_ids
-    safe_ids = jnp.maximum(ids, 0)
-    present = (ids >= 0).astype(dtype)
+    records, colors, counts = build_records(pg, binning)
+    acc = _composite_core(records, colors, counts)    # (t, 4, P)
 
-    mean2d = pg.mean2d[safe_ids]                      # (t, K, 2)
-    conic = pg.conic[safe_ids]                        # (t, K, 3)
-    color = pg.color[safe_ids]                        # (t, K, 3)
-    opacity = pg.opacity[safe_ids] * present          # (t, K)
-
-    zeros = jnp.zeros_like(opacity)
-    records = jnp.stack(
-        [
-            mean2d[..., 0], mean2d[..., 1],
-            conic[..., 0], conic[..., 1], conic[..., 2],
-            opacity, zeros, zeros,
-        ],
-        axis=-1,
-    )  # (t, K, 8)
-    colors = jnp.concatenate([color, jnp.zeros_like(color[..., :1])], axis=-1)
-
-    # The backward staging flushes 128 gaussians per store: pad K up to a
-    # lane multiple (zero opacity = no-op; jnp.pad's VJP unpads cotangents).
-    K = records.shape[1]
-    K_pad = -(-K // 128) * 128
-    if K_pad != K:
-        records = jnp.pad(records, ((0, 0), (0, K_pad - K), (0, 0)))
-        colors = jnp.pad(colors, ((0, 0), (0, K_pad - K), (0, 0)))
-
-    out = _composite_tiles_core(records, colors, background, int(ntx), int(num_tiles))
-    img = out.reshape(nty, ntx, 3, TILE_H, TILE_W)
+    rgb = acc[:, :3, :]
+    tfin = acc[:, 3:4, :]
+    img = rgb + tfin * background[None, :, None]
+    img = img.reshape(nty, ntx, 3, TILE_H, TILE_W)
     img = img.transpose(2, 0, 3, 1, 4).reshape(3, nty * TILE_H, ntx * TILE_W)
     return img[:, :h, :w]

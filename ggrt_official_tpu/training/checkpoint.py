@@ -1,4 +1,7 @@
-"""Checkpoint manager (orbax-backed).
+"""Checkpoint manager (orbax-backed: atomic tmp-dir+rename saves,
+process-index-0 gating, order-keyed flat leaves so restores are
+independent of container round-tripping; legacy round-1 pickle
+checkpoints still load).
 
 Parity target: /root/reference/ggrt/base/checkpoint_manager.py — component-
 keyed checkpoints ('pose_learner', 'gaussian', optimizers, schedulers),
@@ -44,14 +47,40 @@ class CheckPointManager:
         with open(self._manifest_path, "w") as f:
             json.dump({"kept": self._kept, "best_score": float(self._best_score)}, f)
 
-    def _save_tree(self, path: str, tree: Any):
-        import pickle
+    @property
+    def _ckptr(self):
+        if not hasattr(self, "_ckptr_inst"):
+            import orbax.checkpoint as ocp
 
+            self._ckptr_inst = ocp.PyTreeCheckpointer()
+        return self._ckptr_inst
+
+    def _save_tree(self, path: str, payload: Any):
+        """Orbax-backed atomic save (tmp dir + rename), rank-0 gated.
+
+        The train state is stored as order-keyed flat leaves so restore is
+        independent of how orbax round-trips container types — the loop's
+        _restore_state unflattens onto the live TrainState treedef."""
+        if jax.process_index() != 0:
+            return
+        leaves = jax.tree_util.tree_leaves(payload["state"])
+        tree = {
+            "step": np.asarray(payload["step"]),
+            "leaves": {f"{i:06d}": np.asarray(l) for i, l in enumerate(leaves)},
+        }
         os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "state.pkl"), "wb") as f:
-            pickle.dump(_tree_to_numpy(tree), f)
+        target = os.path.join(os.path.abspath(path), "tree")
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        self._ckptr.save(target, tree)
 
     def _load_tree(self, path: str) -> Any:
+        target = os.path.join(os.path.abspath(path), "tree")
+        if os.path.isdir(target):
+            restored = self._ckptr.restore(target)
+            leaves = [restored["leaves"][k] for k in sorted(restored["leaves"])]
+            return {"step": int(restored["step"]), "state": leaves}
+        # Legacy pickle checkpoints (round-1 format).
         import pickle
 
         with open(os.path.join(path, "state.pkl"), "rb") as f:
@@ -94,6 +123,8 @@ class CheckPointManager:
             candidates.append(ckpt_path)
         candidates.append(os.path.join(self.save_path, "latest"))
         for c in candidates:
-            if os.path.exists(os.path.join(c, "state.pkl")):
+            if os.path.isdir(os.path.join(c, "tree")) or os.path.exists(
+                os.path.join(c, "state.pkl")
+            ):
                 return self._load_tree(c)
         return None

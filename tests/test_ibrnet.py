@@ -103,6 +103,7 @@ class TestProjector:
 
 
 class TestIBRNetEndToEnd:
+    @pytest.mark.slow
     def test_render_rays(self):
         from ggrt_official_tpu.config import GGRtConfig
         from ggrt_official_tpu.models.dbarf import IBRNetModel

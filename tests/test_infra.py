@@ -120,6 +120,7 @@ class TestGaussianCache:
 
 
 class TestTrainLoop:
+    @pytest.mark.slow
     def test_loop_smoke_and_resume(self, tmp_path):
         from tests.test_models import tiny_cfg
         from ggrt_official_tpu.data.datasets import (

@@ -87,6 +87,7 @@ class TestEpipolarSampler:
 
 
 class TestEncoder:
+    @pytest.mark.slow
     def test_encoder_produces_gaussians(self):
         from ggrt_official_tpu.models.encoder_epipolar import EncoderEpipolar
 
@@ -108,6 +109,7 @@ class TestEncoder:
         eigs = np.linalg.eigvalsh(np.asarray(g.covariances[0, :50]))
         assert (eigs > -1e-10).all()
 
+    @pytest.mark.slow
     def test_encoder_crop_matches_full(self):
         """Crop mode approximates the corresponding slice of full-image
         Gaussians. Exact equality is impossible (image self-attention sees

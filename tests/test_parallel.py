@@ -20,6 +20,7 @@ class TestMesh:
 
 
 class TestTileParallelRender:
+    @pytest.mark.slow
     def test_matches_unsharded(self):
         from tests.test_rasterizer import SHAPE, make_scene, render_with
         from ggrt_official_tpu.parallel.tile_parallel import render_tile_parallel

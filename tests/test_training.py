@@ -41,6 +41,7 @@ class TestSyntheticData:
 
 
 class TestTrainer:
+    @pytest.mark.slow
     def test_pretrain_step_decreases_nothing_nan(self, dataset):
         from ggrt_official_tpu.training.trainer import GGRtTrainer
 
@@ -60,6 +61,7 @@ class TestTrainer:
         aux2 = trainer.train_iteration(batch, machine="joint")
         assert np.isfinite(float(aux2["loss_all"]))
 
+    @pytest.mark.slow
     def test_state_machine_masks_gradients(self, dataset):
         from ggrt_official_tpu.training.trainer import GGRtTrainer
 
@@ -85,6 +87,7 @@ class TestTrainer:
 
 
 class TestFinetuneTrainer:
+    @pytest.mark.slow
     def test_deferred_bp_step(self, dataset):
         from ggrt_official_tpu.training.trainer import GGRtFinetuneTrainer
 
@@ -103,6 +106,7 @@ class TestFinetuneTrainer:
 
 
 class TestCachedTrainer:
+    @pytest.mark.slow
     def test_cache_hits_and_learning(self, dataset):
         from ggrt_official_tpu.training.trainer_cached import CachedGGRtTrainer
 
