@@ -2,29 +2,33 @@
 
 Round-2 redesign: the round-1 kernel walked one Gaussian per loop step and
 paid 9 scalar VMEM loads per Gaussian (~154 ms/step fwd+bwd). This version
-reformulates compositing as MXU matmuls over 128-Gaussian chunks:
+processes 128-Gaussian chunks as whole vector registers:
 
   * records are stored component-major (tiles, 8, K) holding the CHOLESKY
     factorization of each Gaussian's conic + its tile-LOCAL mean folded
     into linear coefficients: rows [l00, l01, cu, l11, cv, log_op, 0, 0]
     so that u = l00·x + l01·y + cu, v = l11·y + cv are screen-space
-    whitened offsets and power = log_op - (u² + v²)/2. Three tiny matmuls
-    ((3,128)×(3,1024)) evaluate u, v and broadcast log_op for a whole
-    chunk at once — no scalar loads, no catastrophic cancellation (the
-    quadratic-basis alternative x²·(-ca/2)+... loses ~3 digits for
-    anisotropic far-center Gaussians).
+    whitened offsets and power = log_op - (u² + v²)/2.
+  * layout: pixels on sublanes (P = 1024 rows), Gaussians on lanes
+    (chunks of 128). Per-Gaussian coefficients slice naturally as (1, CH)
+    rows of the record block and broadcast against (P, 1) pixel-basis
+    columns — pure f32 VPU ops. (An earlier MXU formulation evaluated
+    u/v as basis matmuls; Mosaic runs those below f32 precision and the
+    cancellation-prone linear terms lost ~3 digits vs the XLA path on
+    real hardware. Only the cancellation-free color/gradient reductions
+    use the MXU.)
   * transmittance is an inclusive cumprod of (1-alpha) along the Gaussian
-    (sublane) axis via 7 Hillis-Steele roll steps; the CUDA early-stop
+    (lane) axis via 7 Hillis-Steele roll steps; the CUDA early-stop
     semantics (contribute iff T·Π(1-α) ≥ 1e-4, which self-latches because
     T is monotone) fall out as a single comparison.
   * per-tile dynamic work: a while-loop over ceil(count/128) chunks that
     also exits early once every pixel's transmittance is dead — the
     per-pixel early termination the CUDA kernel gets for free.
-  * backward re-walks executed chunks back-to-front with the same matmul
-    structure; suffix sums along the Gaussian axis are the same
-    Hillis-Steele rolls. Gradients flow to the record/color tensors; JAX
-    AD chains them to Gaussian params and camera through the (pure-jnp)
-    record construction and the gather's scatter-add transpose.
+  * backward re-walks executed chunks back-to-front with the same
+    structure; suffix sums along the Gaussian axis are lane rolls.
+    Gradients flow to the record/color tensors; JAX AD chains them to
+    Gaussian params and camera through the (pure-jnp) record construction
+    and the gather's scatter-add transpose.
 
 CUDA-parity semantics (alpha clamp 0.99, skip < 1/255, transmittance
 early-out 1e-4) match /root/reference's external rasterizer contract
@@ -32,7 +36,6 @@ early-out 1e-4) match /root/reference's external rasterizer contract
 """
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
@@ -43,95 +46,104 @@ from jax.experimental.pallas import tpu as pltpu
 from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS, ProjectedGaussians
 from .tiling import TILE_H, TILE_W, TileBinning
 
-_CH = 128                      # gaussians per chunk (sublane axis)
-_P = TILE_H * TILE_W           # pixels per tile (lane axis)
+_CH = 128                      # gaussians per chunk (lane axis)
+_P = TILE_H * TILE_W           # pixels per tile (sublane axis)
 LOG_AMAX = math.log(ALPHA_MAX)
 LOG_AMIN = math.log(ALPHA_MIN)
 _PREC = jax.lax.Precision.HIGHEST
 
 
 def _basis():
-    """(3, P) pixel basis [x_local, y_local, 1] with tile-centered coords."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (3, _P), 1)
-    r = jax.lax.broadcasted_iota(jnp.int32, (3, _P), 0)
+    """(P, 3) pixel basis [x_local, y_local, 1], tile-centered coords."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (_P, 3), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (_P, 3), 1)
     px = (p % TILE_W).astype(jnp.float32) - (TILE_W - 1) / 2.0
     py = (p // TILE_W).astype(jnp.float32) - (TILE_H - 1) / 2.0
     return jnp.where(r == 0, px, jnp.where(r == 1, py, 1.0))
 
 
-def _cumprod_sublanes(x):
-    """Inclusive cumprod along axis 0 via Hillis-Steele rolls."""
-    n = x.shape[0]
-    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+def _cumprod_lanes(x):
+    """Inclusive cumprod along axis 1 via Hillis-Steele rolls."""
+    n = x.shape[1]
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     s = 1
     while s < n:
-        x = x * jnp.where(ids >= s, pltpu.roll(x, s, 0), 1.0)
+        x = x * jnp.where(ids >= s, pltpu.roll(x, s, 1), 1.0)
         s *= 2
     return x
 
 
-def _suffix_sum_excl_sublanes(x):
-    """Exclusive suffix sum along axis 0 (sum over j > i)."""
-    n = x.shape[0]
-    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+def _suffix_sum_excl_lanes(x):
+    """Exclusive suffix sum along axis 1 (sum over j > i)."""
+    n = x.shape[1]
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     v = x
     s = 1
     while s < n:
-        x = x + jnp.where(ids < n - s, pltpu.roll(x, n - s, 0), 0.0)
+        x = x + jnp.where(ids < n - s, pltpu.roll(x, n - s, 1), 0.0)
         s *= 2
     return x - v
 
 
 def _chunk_quantities(B, A):
-    """Shared fwd/bwd per-chunk math: (power2, alpha, om) each (CH, P)."""
-    dn = (((0,), (0,)), ((), ()))
-    u = jax.lax.dot_general(B[0:3], A, dn, preferred_element_type=jnp.float32,
-                            precision=_PREC)
-    v = jax.lax.dot_general(B[3:5], A[1:3], dn,
-                            preferred_element_type=jnp.float32, precision=_PREC)
-    s = jax.lax.dot_general(B[5:6], A[2:3], dn,
-                            preferred_element_type=jnp.float32, precision=_PREC)
-    power2 = s - 0.5 * (u * u + v * v)
+    """Per-chunk math, exact f32 VPU broadcasts.
+
+    B: (8, CH) record rows; A: (P, 3) pixel basis.
+    Returns (power2, alpha, om), each (P, CH)."""
+    X = A[:, 0:1]
+    Y = A[:, 1:2]
+    u = X * B[0:1, :] + Y * B[1:2, :] + B[2:3, :]
+    v = Y * B[3:4, :] + B[4:5, :]
+    power2 = B[5:6, :] - 0.5 * (u * u + v * v)
     alpha = jnp.exp(jnp.minimum(LOG_AMAX, power2))
     alpha = jnp.where(power2 >= LOG_AMIN, alpha, 0.0)
-    return power2, alpha, 1.0 - alpha
+    return u, v, power2, alpha, 1.0 - alpha
 
 
-def _fwd_kernel(counts_ref, rec_ref, col_ref, acc_ref, tst_ref, nexec_ref):
+def _fwd_kernel(counts_ref, rec_ref, col_ref, acc_ref, tfin_ref, tst_ref, nexec_ref):
     K = rec_ref.shape[2]
     nch = K // _CH
     A = _basis()
     t = pl.program_id(0)
     need = jnp.minimum((counts_ref[t] + _CH - 1) // _CH, nch)
 
+    # Accumulators live in the output VMEM blocks (read-modify-write):
+    # while-loop carries would need Mosaic to unify the replicated layout of
+    # constant inits with the concrete body layouts, which it refuses
+    # ("Invalid relayout ... replicated in destination but not in source");
+    # dynamic lane-offset stores (tst_ref[0, :, c]) are also rejected unless
+    # 128-aligned, hence the lane-masked full-block select.
+    acc_ref[0] = jnp.zeros((4, _P), jnp.float32)
+    tst_ref[0] = jnp.ones((_P, nch), jnp.float32)
+
     def body(carry):
-        c, T_run, acc = carry
-        tst_ref[0, pl.ds(c, 1), :] = T_run
+        c, T_run = carry
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_P, nch), 1)
+        tst_ref[0] = jnp.where(lane == c, T_run, tst_ref[0])
         B = rec_ref[0, :, pl.ds(c * _CH, _CH)]
         C = col_ref[0, :, pl.ds(c * _CH, _CH)]
-        _, alpha, om = _chunk_quantities(B, A)
-        Tw = _cumprod_sublanes(om)
-        TT = T_run * Tw                      # (CH, P): T *after* gaussian g
+        _, _, _, alpha, om = _chunk_quantities(B, A)
+        Tw = _cumprod_lanes(om)
+        TT = T_run * Tw                      # (P, CH): T *after* gaussian g
         contrib = TT >= T_EPS
         w = jnp.where(contrib, alpha * TT / om, 0.0)
-        acc = acc + jax.lax.dot_general(
-            C, w, (((1,), (0,)), ((), ())),
+        # acc[c_, p] += sum_g C[c_, g] * w[p, g]
+        acc_ref[0] = acc_ref[0] + jax.lax.dot_general(
+            C, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
         )
-        T_new = jnp.min(jnp.where(contrib, TT, T_run), axis=0, keepdims=True)
-        return c + 1, T_new, acc
+        T_new = jnp.min(jnp.where(contrib, TT, T_run), axis=1, keepdims=True)
+        return c + 1, T_new
 
     def cond(carry):
-        c, T_run, _ = carry
+        c, T_run = carry
         return (c < need) & (jnp.max(T_run) >= T_EPS)
 
     c0 = jnp.zeros((), jnp.int32)
-    T0 = jnp.ones((1, _P), jnp.float32)
-    acc0 = jnp.zeros((4, _P), jnp.float32)
-    c_fin, T_fin, acc_fin = jax.lax.while_loop(cond, body, (c0, T0, acc0))
+    T0 = jnp.ones((_P, 1), jnp.float32)
+    c_fin, T_fin = jax.lax.while_loop(cond, body, (c0, T0))
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (4, _P), 0)
-    acc_ref[0] = jnp.where(rows == 3, T_fin, acc_fin)
+    tfin_ref[0] = T_fin                      # (P, 1) frozen final T
     # Executed-chunk count, broadcast to an (8, 128) vector tile (Mosaic
     # cannot store scalars to VMEM; SMEM outputs reject per-grid-step
     # block maps; VMEM blocks need (8, 128)-aligned trailing dims).
@@ -139,7 +151,8 @@ def _fwd_kernel(counts_ref, rec_ref, col_ref, acc_ref, tst_ref, nexec_ref):
 
 
 def _bwd_kernel(
-    nexec_ref, rec_ref, col_ref, tst_ref, acc_ref, g_ref, drec_ref, dcol_ref
+    nexec_ref, rec_ref, col_ref, tst_ref, tfin_ref, g_ref, gtfin_ref,
+    drec_ref, dcol_ref,
 ):
     K = rec_ref.shape[2]
     A = _basis()
@@ -148,69 +161,65 @@ def _bwd_kernel(
     drec_ref[0] = jnp.zeros((8, K), jnp.float32)
     dcol_ref[0] = jnp.zeros((4, K), jnp.float32)
 
-    tfin = acc_ref[0, 3:4, :]                # (1, P) frozen final T
-    dacc = g_ref[0]                          # (4, P); row 3 = d(tfin)
-    bgterm = g_ref[0, 3:4, :] * tfin         # (1, P)
+    dacc = g_ref[0]                                   # (4, P)
+    bgterm = gtfin_ref[0] * tfin_ref[0]               # (P, 1)
 
     def body(i, accum):
         c = nexec - 1 - i
         B = rec_ref[0, :, pl.ds(c * _CH, _CH)]
         C = col_ref[0, :, pl.ds(c * _CH, _CH)]
-        power2, alpha, om = _chunk_quantities(B, A)
-        Tw = _cumprod_sublanes(om)
-        T_start = tst_ref[0, pl.ds(c, 1), :]
+        u, v, power2, alpha, om = _chunk_quantities(B, A)
+        Tw = _cumprod_lanes(om)
+        T_start = tst_ref[0, :, pl.ds(c, 1)]           # (P, 1)
         TT = T_start * Tw
         contrib = TT >= T_EPS
         Tb = TT / om
-        w = jnp.where(contrib, alpha * Tb, 0.0)
+        w = jnp.where(contrib, alpha * Tb, 0.0)        # (P, CH)
 
-        dn_p = (((1,), (1,)), ((), ()))      # contract pixel axes
-        dwdot = jax.lax.dot_general(         # (CH, P): dL/dw per pixel
-            C, dacc, (((0,), (0,)), ((), ())),
+        # dL/dw[p, g] = sum_c dacc[c, p] * C[c, g]
+        dwdot = jax.lax.dot_general(
+            dacc, C, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
-        )
+        )                                              # (P, CH)
+        # dcol[c_, g] = sum_p dacc[c_, p] * w[p, g]
         dcol_ref[0, :, pl.ds(c * _CH, _CH)] = jax.lax.dot_general(
-            dacc, w, dn_p, preferred_element_type=jnp.float32, precision=_PREC
+            dacc, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
         )
 
         vchunk = dwdot * w
-        sfx = _suffix_sum_excl_sublanes(vchunk)
+        sfx = _suffix_sum_excl_lanes(vchunk)
         dalpha = jnp.where(
             contrib, dwdot * Tb - (sfx + accum + bgterm) / om, 0.0
         )
-        dpower2 = dalpha * alpha * (power2 < LOG_AMAX)
+        dpower2 = dalpha * alpha * (power2 < LOG_AMAX)  # (P, CH)
 
-        du = jax.lax.dot_general(
-            B[0:3], A, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        ) * (-dpower2)
-        dv = jax.lax.dot_general(
-            B[3:5], A[1:3], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        ) * (-dpower2)
-        dB03 = jax.lax.dot_general(
-            A, du, dn_p, preferred_element_type=jnp.float32, precision=_PREC
-        )                                     # (3, CH)
-        dB34 = jax.lax.dot_general(
-            A[1:3], dv, dn_p, preferred_element_type=jnp.float32, precision=_PREC
-        )                                     # (2, CH)
-        dB5 = jax.lax.dot_general(
-            A[2:3], dpower2, dn_p, preferred_element_type=jnp.float32,
-            precision=_PREC,
-        )                                     # (1, CH)
-        drec_ref[0, 0:3, pl.ds(c * _CH, _CH)] = dB03
-        drec_ref[0, 3:5, pl.ds(c * _CH, _CH)] = dB34
-        drec_ref[0, 5:6, pl.ds(c * _CH, _CH)] = dB5
+        du = -u * dpower2
+        dv = -v * dpower2
+        X = A[:, 0:1]
+        Y = A[:, 1:2]
+        # d l00 = sum_p du * x ; d l01 = sum_p du * y ; d cu = sum_p du ...
+        dl00 = jnp.sum(du * X, axis=0, keepdims=True)   # (1, CH)
+        dl01 = jnp.sum(du * Y, axis=0, keepdims=True)
+        dcu = jnp.sum(du, axis=0, keepdims=True)
+        dl11 = jnp.sum(dv * Y, axis=0, keepdims=True)
+        dcv = jnp.sum(dv, axis=0, keepdims=True)
+        dlog = jnp.sum(dpower2, axis=0, keepdims=True)
+        drec_ref[0, 0:1, pl.ds(c * _CH, _CH)] = dl00
+        drec_ref[0, 1:2, pl.ds(c * _CH, _CH)] = dl01
+        drec_ref[0, 2:3, pl.ds(c * _CH, _CH)] = dcu
+        drec_ref[0, 3:4, pl.ds(c * _CH, _CH)] = dl11
+        drec_ref[0, 4:5, pl.ds(c * _CH, _CH)] = dcv
+        drec_ref[0, 5:6, pl.ds(c * _CH, _CH)] = dlog
 
-        return accum + jnp.sum(vchunk, axis=0, keepdims=True)
+        return accum + jnp.sum(vchunk, axis=1, keepdims=True)
 
-    jax.lax.fori_loop(0, nexec, body, jnp.zeros((1, _P), jnp.float32))
+    jax.lax.fori_loop(0, nexec, body, jnp.zeros((_P, 1), jnp.float32))
 
 
 def _fwd_raw(records, colors, counts):
     num_tiles, _, K = records.shape
     nch = K // _CH
-    flops_tile = nch * (2 * 8 * _CH * _P + 2 * _CH * _CH * _P // 16)
     counts_i = counts.reshape(-1).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -221,28 +230,30 @@ def _fwd_raw(records, colors, counts):
         ],
         out_specs=[
             pl.BlockSpec((1, 4, _P), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, nch, _P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, _P, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, _P, nch), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0)),
         ],
     )
-    acc, tst, nexec = pl.pallas_call(
+    acc, tfin, tst, nexec = pl.pallas_call(
         _fwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, 4, _P), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, nch, _P), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, _P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, _P, nch), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=num_tiles * flops_tile,
+            flops=num_tiles * nch * 40 * _CH * _P,
             bytes_accessed=num_tiles * (12 * K + 4 * _P * (nch + 4)) * 4,
             transcendentals=num_tiles * nch * _CH * _P,
         ),
     )(counts_i, records, colors)
-    return acc, tst, nexec
+    return acc, tfin, tst, nexec
 
 
-def _bwd_raw(records, colors, tst, nexec, acc, gout):
+def _bwd_raw(records, colors, tst, nexec, tfin, gout, gtfin):
     num_tiles, _, K = records.shape
     nch = K // _CH
     drec, dcol = pl.pallas_call(
@@ -252,9 +263,10 @@ def _bwd_raw(records, colors, tst, nexec, acc, gout):
             pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nch, _P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _P, nch), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _P, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, _P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, _P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _P, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 8, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -265,28 +277,29 @@ def _bwd_raw(records, colors, tst, nexec, acc, gout):
             jax.ShapeDtypeStruct((num_tiles, 4, K), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=3 * num_tiles * (K // _CH) * (2 * 8 * _CH * _P),
+            flops=3 * num_tiles * K * 40 * _P,
             bytes_accessed=num_tiles * (24 * K + 4 * _P * (K // _CH + 8)) * 4,
             transcendentals=num_tiles * K * _P,
         ),
-    )(nexec, records, colors, tst, acc, gout)
+    )(nexec, records, colors, tst, tfin, gout, gtfin)
     return drec, dcol
 
 
 @jax.custom_vjp
 def _composite_core(records, colors, counts):
-    acc, _, _ = _fwd_raw(records, colors, counts)
-    return acc
+    acc, tfin, _, _ = _fwd_raw(records, colors, counts)
+    return acc, tfin
 
 
 def _core_fwd(records, colors, counts):
-    acc, tst, nexec = _fwd_raw(records, colors, counts)
-    return acc, (records, colors, counts, tst, nexec, acc)
+    acc, tfin, tst, nexec = _fwd_raw(records, colors, counts)
+    return (acc, tfin), (records, colors, counts, tst, nexec, tfin)
 
 
-def _core_bwd(res, gout):
-    records, colors, counts, tst, nexec, acc = res
-    drec, dcol = _bwd_raw(records, colors, tst, nexec, acc, gout)
+def _core_bwd(res, gouts):
+    records, colors, counts, tst, nexec, tfin = res
+    gout, gtfin = gouts
+    drec, dcol = _bwd_raw(records, colors, tst, nexec, tfin, gout, gtfin)
     return drec, dcol, jnp.zeros_like(counts)
 
 
@@ -354,11 +367,10 @@ def composite_tiles_pallas(
     nty, ntx = binning.num_tiles_y, binning.num_tiles_x
 
     records, colors, counts = build_records(pg, binning)
-    acc = _composite_core(records, colors, counts)    # (t, 4, P)
+    acc, tfin = _composite_core(records, colors, counts)  # (t, 4, P), (t, P, 1)
 
     rgb = acc[:, :3, :]
-    tfin = acc[:, 3:4, :]
-    img = rgb + tfin * background[None, :, None]
+    img = rgb + jnp.swapaxes(tfin, 1, 2) * background[None, :, None]
     img = img.reshape(nty, ntx, 3, TILE_H, TILE_W)
     img = img.transpose(2, 0, 3, 1, 4).reshape(3, nty * TILE_H, ntx * TILE_W)
     return img[:, :h, :w]

@@ -60,3 +60,59 @@ def gaussian_statistics(gaussians) -> dict:
         "means_bbox_min": means.reshape(-1, 3).min(0).tolist(),
         "means_bbox_max": means.reshape(-1, 3).max(0).tolist(),
     }
+
+
+def visualize_attention(attn: np.ndarray, image_shape: tuple[int, int]) -> np.ndarray:
+    """Per-head epipolar attention entropy maps (ref :130-203 simplified).
+
+    attn: (r, heads, s) softmax weights per downscaled pixel token.
+    Returns (heads, h, w, 3) colorized entropy (low entropy = peaky match).
+    """
+    h, w = image_shape
+    r, heads, s = attn.shape
+    assert r == h * w, (r, h, w)
+    p = np.clip(attn, 1e-9, 1.0)
+    entropy = -(p * np.log(p)).sum(-1) / np.log(s)    # (r, heads)
+    return np.stack(
+        [colorize_depth(entropy[:, i].reshape(h, w), cmap_name="viridis")
+         for i in range(heads)]
+    )
+
+
+def visualize_overlaps(valid: np.ndarray, image_shape: tuple[int, int]) -> np.ndarray:
+    """Fraction of other views whose epipolar segment overlaps each pixel
+    (ref :231-269). valid: (v, ov, r) bool. Returns (v, h, w, 3)."""
+    h, w = image_shape
+    frac = np.asarray(valid, np.float32).mean(1)      # (v, r)
+    return np.stack(
+        [colorize_depth(f.reshape(h, w), cmap_name="magma") for f in frac]
+    )
+
+
+def visualize_probabilities(pdf: np.ndarray, image_shape: tuple[int, int]) -> np.ndarray:
+    """Depth-bucket PDF summaries (ref :302-374): expectation and peakiness
+    maps. pdf: (r, s). Returns (2, h, w, 3)."""
+    h, w = image_shape
+    r, s = pdf.shape
+    buckets = (np.arange(s) + 0.5) / s
+    expectation = (pdf * buckets).sum(-1) / np.clip(pdf.sum(-1), 1e-9, None)
+    peak = pdf.max(-1)
+    return np.stack([
+        colorize_depth(expectation.reshape(h, w), cmap_name="turbo"),
+        colorize_depth(peak.reshape(h, w), cmap_name="viridis"),
+    ])
+
+
+def visualize_gaussians(gaussians, image_shape: tuple[int, int], v: int,
+                        gaussians_per_pixel: int) -> np.ndarray:
+    """Opacity / scale maps per view (ref :270-301). Returns (v, 2, h, w, 3)."""
+    h, w = image_shape
+    opac = np.asarray(gaussians.opacities).reshape(v, h, w, -1).mean(-1)
+    scales = np.asarray(gaussians.scales).reshape(v, h, w, -1, 3).mean((-1, -2))
+    out = []
+    for i in range(v):
+        out.append(np.stack([
+            colorize_depth(opac[i], cmap_name="viridis"),
+            colorize_depth(scales[i], cmap_name="magma"),
+        ]))
+    return np.stack(out)

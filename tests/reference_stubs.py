@@ -219,13 +219,24 @@ def install():
 
     # Empty placeholder modules for observability deps pulled in by the
     # reference's visualization import chain (never exercised numerically).
+    # Only stub modules that genuinely do not exist — shadowing an installed
+    # package (e.g. imageio) breaks its submodule imports everywhere else.
+    import importlib.util
+
     for name in ("wandb", "visdom", "pytorch_lightning", "skimage",
                  "skimage.metrics", "plyfile", "lpips", "colorspacious",
-                 "svg", "flow_vis", "mediapy", "configargparse", "imageio"):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            mod.__getattr__ = lambda attr, _n=name: types.SimpleNamespace()
-            sys.modules[name] = mod
+                 "svg", "flow_vis", "mediapy", "configargparse"):
+        if name in sys.modules:
+            continue
+        try:
+            if importlib.util.find_spec(name) is not None:
+                continue
+        except (ImportError, ModuleNotFoundError, ValueError, TypeError):
+            pass
+        mod = types.ModuleType(name)
+        mod.__path__ = []  # keep find_spec on submodules well-behaved
+        mod.__getattr__ = lambda attr, _n=name: types.SimpleNamespace()
+        sys.modules[name] = mod
 
     if "e3nn" not in sys.modules:
         e3nn = types.ModuleType("e3nn")

@@ -53,7 +53,11 @@ class TestCheckpoint:
         mgr.save(20, state, score=2.0)
         payload = mgr.load()
         assert payload["step"] == 20
-        np.testing.assert_allclose(payload["state"]["a"], np.arange(5.0))
+        # Orbax format stores order-keyed flat leaves; restore by treedef.
+        leaves = jax.tree_util.tree_leaves(payload["state"])
+        _, treedef = jax.tree_util.tree_flatten(state)
+        restored = jax.tree_util.tree_unflatten(treedef, leaves)
+        np.testing.assert_allclose(restored["a"], np.arange(5.0))
 
     def test_best_tracking(self, tmp_path):
         from ggrt_official_tpu.training.checkpoint import CheckPointManager
@@ -62,7 +66,7 @@ class TestCheckpoint:
         mgr.save(1, {"x": jnp.zeros(1)}, score=5.0)
         mgr.save(2, {"x": jnp.ones(1)}, score=3.0)  # worse — best stays at 1
         best = mgr.load(os.path.join(str(tmp_path), "best"))
-        np.testing.assert_allclose(best["state"]["x"], [0.0])
+        np.testing.assert_allclose(jax.tree_util.tree_leaves(best["state"])[0], [0.0])
 
     def test_retention(self, tmp_path):
         from ggrt_official_tpu.training.checkpoint import CheckPointManager
