@@ -67,12 +67,18 @@ def mst_rotations(
 
 def solve_positions(
     edges: dict, rotations: np.ndarray, ref_id: int = 0,
-    ref_position: np.ndarray | None = None,
+    ref_position: np.ndarray | None = None, metric_scale: bool = False,
 ) -> np.ndarray:
     """Least-squares w2c translations from relative translations.
 
     edges: {(i, j): ((R_ij, t_ij), inliers)} or {(i, j): (T_ij 4x4,
-    inliers)}; constraint t_j = R_ij t_i + t_ij. Returns (n, 3)."""
+    inliers)}; constraint t_j = R_ij t_i + t_ij.
+
+    With metric_scale=False (the default; essential-matrix decompositions
+    give only the DIRECTION of each t_ij), the per-edge scale is
+    eliminated by projecting the constraint onto the complement of the
+    measured direction — standard least-squares translation averaging —
+    and the global scale is fixed by unit-scaling one edge. Returns (n, 3)."""
     n = rotations.shape[0]
     rows = []
     rhs = []
@@ -83,13 +89,31 @@ def solve_positions(
             return m[:3, :3], m[:3, 3]
         return np.asarray(v[0], np.float64), np.asarray(v[1], np.float64)
 
+    first_edge = None
     for (i, j), (meas, _) in edges.items():
         R_ij, t_ij = unpack(meas)
-        row = np.zeros((3, 3 * n))
-        row[:, 3 * j : 3 * j + 3] = np.eye(3)
-        row[:, 3 * i : 3 * i + 3] = -R_ij
-        rows.append(row)
-        rhs.append(t_ij)
+        block = np.zeros((3, 3 * n))
+        block[:, 3 * j : 3 * j + 3] = np.eye(3)
+        block[:, 3 * i : 3 * i + 3] = -R_ij
+        if metric_scale:
+            rows.append(block)
+            rhs.append(t_ij)
+        else:
+            norm = np.linalg.norm(t_ij)
+            if norm < 1e-9:
+                continue
+            u = t_ij / norm
+            P = np.eye(3) - np.outer(u, u)
+            rows.append(P @ block)
+            rhs.append(np.zeros(3))
+            if first_edge is None:
+                first_edge = (block, u)
+    if not metric_scale and first_edge is not None:
+        # Pin the global scale: the first edge's displacement along its
+        # measured direction is 1.
+        block, u = first_edge
+        rows.append((u[None, :] @ block))
+        rhs.append(np.ones(1))
     # Anchor the reference camera.
     anchor = np.zeros((3, 3 * n))
     anchor[:, 3 * ref_id : 3 * ref_id + 3] = np.eye(3) * 1e3
@@ -111,10 +135,12 @@ class PoseInitializer:
     num_inliers)}."""
 
     def __init__(self, edges: dict, num_poses: int, ref_id: int = 0,
-                 ref_pose_w2c: np.ndarray | None = None):
+                 ref_pose_w2c: np.ndarray | None = None,
+                 metric_scale: bool = False):
         self.edges = edges
         self.num_poses = num_poses
         self.ref_id = ref_id
+        self.metric_scale = metric_scale
         self.ref_pose = (
             np.eye(4, dtype=np.float32) if ref_pose_w2c is None else ref_pose_w2c
         )
@@ -128,7 +154,8 @@ class PoseInitializer:
         R = mst_rotations(
             rot_edges, self.num_poses, self.ref_id, self.ref_pose[:3, :3]
         )
-        t = solve_positions(self.edges, R, self.ref_id, self.ref_pose[:3, 3])
+        t = solve_positions(self.edges, R, self.ref_id, self.ref_pose[:3, 3],
+                            metric_scale=self.metric_scale)
 
         c2w = np.tile(np.eye(4, dtype=np.float32), (self.num_poses, 1, 1))
         c2w[:, :3, :3] = np.transpose(R, (0, 2, 1))

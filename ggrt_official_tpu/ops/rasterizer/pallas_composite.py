@@ -113,24 +113,32 @@ def _fwd_kernel(counts_ref, rec_ref, col_ref, acc_ref, tfin_ref, tst_ref, nexec_
     # ("Invalid relayout ... replicated in destination but not in source");
     # dynamic lane-offset stores (tst_ref[0, :, c]) are also rejected unless
     # 128-aligned, hence the lane-masked full-block select.
-    acc_ref[0] = jnp.zeros((4, _P), jnp.float32)
+    acc_ref[0] = jnp.zeros((_P, 4), jnp.float32)
     tst_ref[0] = jnp.ones((_P, nch), jnp.float32)
 
     def body(carry):
         c, T_run = carry
         lane = jax.lax.broadcasted_iota(jnp.int32, (_P, nch), 1)
         tst_ref[0] = jnp.where(lane == c, T_run, tst_ref[0])
-        B = rec_ref[0, :, pl.ds(c * _CH, _CH)]
-        C = col_ref[0, :, pl.ds(c * _CH, _CH)]
+        off = pl.multiple_of(c * _CH, _CH)
+        B = rec_ref[0, :, pl.ds(off, _CH)]
+        C = col_ref[0, :, pl.ds(off, _CH)]
         _, _, _, alpha, om = _chunk_quantities(B, A)
         Tw = _cumprod_lanes(om)
         TT = T_run * Tw                      # (P, CH): T *after* gaussian g
         contrib = TT >= T_EPS
         w = jnp.where(contrib, alpha * TT / om, 0.0)
-        # acc[c_, p] += sum_g C[c_, g] * w[p, g]
-        acc_ref[0] = acc_ref[0] + jax.lax.dot_general(
-            C, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
+        # acc[p, c_] += sum_g w[p, g] * C[c_, g] — exact VPU reductions; a
+        # dot_general here runs below f32 precision under Mosaic (HIGHEST
+        # is not honored) and cost the image ~2e-4 absolute error.
+        acc_ref[0] = acc_ref[0] + jnp.concatenate(
+            [
+                jnp.sum(w * C[0:1, :], axis=1, keepdims=True),
+                jnp.sum(w * C[1:2, :], axis=1, keepdims=True),
+                jnp.sum(w * C[2:3, :], axis=1, keepdims=True),
+                jnp.zeros((_P, 1), jnp.float32),
+            ],
+            axis=1,
         )
         T_new = jnp.min(jnp.where(contrib, TT, T_run), axis=1, keepdims=True)
         return c + 1, T_new
@@ -161,13 +169,14 @@ def _bwd_kernel(
     drec_ref[0] = jnp.zeros((8, K), jnp.float32)
     dcol_ref[0] = jnp.zeros((4, K), jnp.float32)
 
-    dacc = g_ref[0]                                   # (4, P)
+    dacc = g_ref[0]                                   # (P, 4)
     bgterm = gtfin_ref[0] * tfin_ref[0]               # (P, 1)
 
     def body(i, accum):
         c = nexec - 1 - i
-        B = rec_ref[0, :, pl.ds(c * _CH, _CH)]
-        C = col_ref[0, :, pl.ds(c * _CH, _CH)]
+        off = pl.multiple_of(c * _CH, _CH)
+        B = rec_ref[0, :, pl.ds(off, _CH)]
+        C = col_ref[0, :, pl.ds(off, _CH)]
         u, v, power2, alpha, om = _chunk_quantities(B, A)
         Tw = _cumprod_lanes(om)
         T_start = tst_ref[0, :, pl.ds(c, 1)]           # (P, 1)
@@ -176,15 +185,22 @@ def _bwd_kernel(
         Tb = TT / om
         w = jnp.where(contrib, alpha * Tb, 0.0)        # (P, CH)
 
-        # dL/dw[p, g] = sum_c dacc[c, p] * C[c, g]
-        dwdot = jax.lax.dot_general(
-            dacc, C, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
+        # dL/dw[p, g] = sum_c dacc[p, c] * C[c, g] — exact VPU broadcasts
+        # (MXU dots run below f32 precision under Mosaic).
+        dwdot = (
+            dacc[:, 0:1] * C[0:1, :]
+            + dacc[:, 1:2] * C[1:2, :]
+            + dacc[:, 2:3] * C[2:3, :]
         )                                              # (P, CH)
-        # dcol[c_, g] = sum_p dacc[c_, p] * w[p, g]
-        dcol_ref[0, :, pl.ds(c * _CH, _CH)] = jax.lax.dot_general(
-            dacc, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
+        # dcol[c_, g] = sum_p dacc[p, c_] * w[p, g]
+        dcol_ref[0, :, pl.ds(off, _CH)] = jnp.concatenate(
+            [
+                jnp.sum(dacc[:, 0:1] * w, axis=0, keepdims=True),
+                jnp.sum(dacc[:, 1:2] * w, axis=0, keepdims=True),
+                jnp.sum(dacc[:, 2:3] * w, axis=0, keepdims=True),
+                jnp.zeros((1, _CH), jnp.float32),
+            ],
+            axis=0,
         )
 
         vchunk = dwdot * w
@@ -205,12 +221,12 @@ def _bwd_kernel(
         dl11 = jnp.sum(dv * Y, axis=0, keepdims=True)
         dcv = jnp.sum(dv, axis=0, keepdims=True)
         dlog = jnp.sum(dpower2, axis=0, keepdims=True)
-        drec_ref[0, 0:1, pl.ds(c * _CH, _CH)] = dl00
-        drec_ref[0, 1:2, pl.ds(c * _CH, _CH)] = dl01
-        drec_ref[0, 2:3, pl.ds(c * _CH, _CH)] = dcu
-        drec_ref[0, 3:4, pl.ds(c * _CH, _CH)] = dl11
-        drec_ref[0, 4:5, pl.ds(c * _CH, _CH)] = dcv
-        drec_ref[0, 5:6, pl.ds(c * _CH, _CH)] = dlog
+        drec_ref[0, 0:1, pl.ds(off, _CH)] = dl00
+        drec_ref[0, 1:2, pl.ds(off, _CH)] = dl01
+        drec_ref[0, 2:3, pl.ds(off, _CH)] = dcu
+        drec_ref[0, 3:4, pl.ds(off, _CH)] = dl11
+        drec_ref[0, 4:5, pl.ds(off, _CH)] = dcv
+        drec_ref[0, 5:6, pl.ds(off, _CH)] = dlog
 
         return accum + jnp.sum(vchunk, axis=1, keepdims=True)
 
@@ -229,7 +245,7 @@ def _fwd_raw(records, colors, counts):
             pl.BlockSpec((1, 4, K), lambda t, *_: (t, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 4, _P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, _P, 4), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, _P, 1), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, _P, nch), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0)),
@@ -239,7 +255,7 @@ def _fwd_raw(records, colors, counts):
         _fwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 4, _P), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, _P, 4), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, _P, 1), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, _P, nch), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.float32),
@@ -265,7 +281,7 @@ def _bwd_raw(records, colors, tst, nexec, tfin, gout, gtfin):
             pl.BlockSpec((1, 4, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _P, nch), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _P, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, _P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _P, 4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _P, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -367,9 +383,9 @@ def composite_tiles_pallas(
     nty, ntx = binning.num_tiles_y, binning.num_tiles_x
 
     records, colors, counts = build_records(pg, binning)
-    acc, tfin = _composite_core(records, colors, counts)  # (t, 4, P), (t, P, 1)
+    acc, tfin = _composite_core(records, colors, counts)  # (t, P, 4), (t, P, 1)
 
-    rgb = acc[:, :3, :]
+    rgb = jnp.swapaxes(acc[..., :3], 1, 2)                # (t, 3, P)
     img = rgb + jnp.swapaxes(tfin, 1, 2) * background[None, :, None]
     img = img.reshape(nty, ntx, 3, TILE_H, TILE_W)
     img = img.transpose(2, 0, 3, 1, 4).reshape(3, nty * TILE_H, ntx * TILE_W)

@@ -40,7 +40,8 @@ class TestMST:
         pairs = [(i, i + 1) for i in range(n - 1)] + [(0, 3), (2, 6), (1, 7)]
         edges = _edges_from_poses(T, pairs)
 
-        init = PoseInitializer(edges, n, ref_id=0, ref_pose_w2c=T[0].astype(np.float32))
+        init = PoseInitializer(edges, n, ref_id=0, ref_pose_w2c=T[0].astype(np.float32),
+                               metric_scale=True)
         c2w = init.init_poses_from_mst()
 
         gt_c2w = np.linalg.inv(T).astype(np.float32)
@@ -66,7 +67,7 @@ class TestMST:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
         edges = _edges_from_poses(T, pairs)
         R = np.stack([t[:3, :3] for t in T]).astype(np.float32)
-        t = solve_positions(edges, R, ref_id=0, ref_position=T[0][:3, 3])
+        t = solve_positions(edges, R, ref_id=0, ref_position=T[0][:3, 3], metric_scale=True)
         np.testing.assert_allclose(t, np.stack([x[:3, 3] for x in T]), atol=1e-3)
 
 
