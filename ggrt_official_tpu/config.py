@@ -44,6 +44,9 @@ class BackboneCfg:
     num_layers: int = 5
     use_first_pool: bool = False
     d_out: int = 512
+    # Converted torchvision/dino weights (.npz via training/pretrained.py);
+    # None or a missing file trains the trunk from scratch.
+    pretrained_path: str | None = None
 
 
 @dataclass
@@ -89,6 +92,7 @@ class DecoderCfg:
 
 @dataclass
 class IPONetCfg:
+    pretrained_path: str | None = None  # imagenet resnet18 .npz for the trunks
     iters: int = 12           # total GRU steps (outer x seq_len)
     seq_len: int = 4
     foutput_dim: int = 128

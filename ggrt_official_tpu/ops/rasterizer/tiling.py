@@ -112,6 +112,58 @@ def bin_gaussians(
     return TileBinning(gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx)
 
 
+def binning_overflow_stats(
+    pg: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    max_dup: int = 32,
+    max_per_tile: int = 1024,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+) -> dict:
+    """Measure what the static caps drop (SURVEY.md §7.3 #1: the caps are a
+    documented correctness deviation — this quantifies the recall).
+
+    Returns jnp scalars: total (gaussian, tile) pairs wanted, pairs dropped
+    by max_dup, entries dropped by max_per_tile, and overall recall."""
+    h, w = image_shape
+    ntx = -(-w // tile_w)
+    nty = -(-h // tile_h)
+    num_tiles = nty * ntx
+
+    visible = pg.valid & (pg.radius > 0.0)
+    x0 = jnp.clip(((pg.mean2d[:, 0] - pg.radius) / tile_w).astype(jnp.int32), 0, ntx)
+    x1 = jnp.clip(
+        jnp.floor((pg.mean2d[:, 0] + pg.radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, ntx
+    )
+    y0 = jnp.clip(((pg.mean2d[:, 1] - pg.radius) / tile_h).astype(jnp.int32), 0, nty)
+    y1 = jnp.clip(
+        jnp.floor((pg.mean2d[:, 1] + pg.radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, nty
+    )
+    per_gauss = jnp.where(visible, (x1 - x0) * (y1 - y0), 0)
+    wanted = jnp.sum(per_gauss)
+    dup_dropped = jnp.sum(jnp.maximum(per_gauss - max_dup, 0))
+
+    # Per-tile demand AFTER the dup cap (kept entries) vs capacity K,
+    # histogrammed directly with a scatter-add.
+    slot = jnp.arange(max_dup, dtype=jnp.int32)
+    nx_safe = jnp.maximum(x1 - x0, 1)
+    ty = y0[:, None] + slot[None, :] // nx_safe[:, None]
+    tx = x0[:, None] + slot[None, :] % nx_safe[:, None]
+    in_box = (slot[None, :] < per_gauss[:, None]) & visible[:, None]
+    tile_id = jnp.where(in_box, ty * ntx + tx, num_tiles).reshape(-1)
+    per_tile = jnp.zeros(num_tiles + 1, jnp.int32).at[tile_id].add(1)[:num_tiles]
+    tile_dropped = jnp.sum(jnp.maximum(per_tile - max_per_tile, 0))
+
+    kept = wanted - dup_dropped - tile_dropped
+    return {
+        "pairs_wanted": wanted,
+        "dropped_by_max_dup": dup_dropped,
+        "dropped_by_max_per_tile": tile_dropped,
+        "recall": kept / jnp.maximum(wanted, 1),
+        "max_tile_demand": jnp.max(per_tile),
+    }
+
+
 def bin_gaussians_counting(
     pg: ProjectedGaussians,
     image_shape: tuple[int, int],

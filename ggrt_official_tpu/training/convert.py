@@ -338,13 +338,24 @@ def assert_tree_shapes_match(converted: dict, template: dict, path=()):
             )
 
 
-def merge_params(template: dict, converted: dict) -> dict:
+def merge_params(template: dict, converted: dict, strict_shapes: bool = False) -> dict:
     """Overlay converted leaves onto a template param tree (partial load,
-    parity with the reference's models-only checkpoint loads)."""
+    parity with the reference's models-only checkpoint loads).
+
+    Shape-mismatched leaves keep the template value (the reference loads
+    pretrained trunks with strict=False, feature_network.py:332-335) unless
+    strict_shapes is set."""
     out = {}
     for key, tval in template.items():
         if isinstance(tval, dict):
-            out[key] = merge_params(tval, converted.get(key, {}))
+            out[key] = merge_params(tval, converted.get(key, {}), strict_shapes)
         else:
-            out[key] = converted.get(key, tval)
+            cval = converted.get(key, tval)
+            if np.shape(cval) != np.shape(tval):
+                if strict_shapes:
+                    raise ValueError(
+                        f"shape mismatch for {key}: {np.shape(cval)} vs {np.shape(tval)}"
+                    )
+                cval = tval
+            out[key] = cval
     return out

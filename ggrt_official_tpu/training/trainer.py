@@ -152,6 +152,27 @@ class GGRtTrainer:
                 "gaussian": gauss_vars["params"]["gaussian"],
             }
         }
+        # Pretrained trunks (reference feature_network.py:325-335 /
+        # backbone_dino.py:21 — converted offline, see training/pretrained.py).
+        from .pretrained import maybe_load_backbone
+
+        bp = getattr(self.cfg.encoder.backbone, "pretrained_path", None)
+        if bp:
+            params["params"], ok = maybe_load_backbone(
+                params["params"], bp, ("gaussian", "encoder", "backbone")
+            )
+            if ok:
+                print(f"[pretrained] loaded encoder backbone from {bp}")
+        ip = getattr(self.cfg.iponet, "pretrained_path", None)
+        if ip:
+            # cnet_pose's 6-channel conv1 is skipped by the shape guard and
+            # stays random; convert with num_input_images=2 for full parity.
+            for net in ("fnet", "cnet_depth", "cnet_pose"):
+                params["params"], ok = maybe_load_backbone(
+                    params["params"], ip, ("pose_learner", net)
+                )
+            if ok:
+                print(f"[pretrained] loaded IPO trunks from {ip}")
         self.state = state_lib.create_train_state(self.cfg, params)
         return self.state
 

@@ -204,3 +204,24 @@ class TestCountingBinning:
         ref = render_with(scene, "tiled", max_per_tile=256, binning_mode="sort")
         got = render_with(scene, "tiled", max_per_tile=256, binning_mode="counting")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+class TestOverflowStats:
+    def test_recall_reporting(self):
+        from ggrt_official_tpu.ops.rasterizer.projection import project_gaussians
+        from ggrt_official_tpu.ops.rasterizer.tiling import binning_overflow_stats
+
+        scene = make_scene(jax.random.PRNGKey(5), n=200)
+        pg = project_gaussians(
+            scene["means"][0], scene["covariances"][0], scene["sh_coeffs"][0],
+            scene["opacities"][0], scene["extrinsics"][0], scene["intrinsics"][0],
+            scene["near"][0], scene["far"][0], SHAPE,
+        )
+        generous = binning_overflow_stats(pg, SHAPE, max_dup=64, max_per_tile=4096)
+        assert float(generous["recall"]) == 1.0
+        tight = binning_overflow_stats(pg, SHAPE, max_dup=1, max_per_tile=8)
+        assert float(tight["recall"]) < 1.0
+        assert float(tight["dropped_by_max_dup"]) > 0
+        total = float(tight["pairs_wanted"])
+        kept = total - float(tight["dropped_by_max_dup"]) - float(tight["dropped_by_max_per_tile"])
+        assert abs(kept / total - float(tight["recall"])) < 1e-6
