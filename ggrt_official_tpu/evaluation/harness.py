@@ -102,13 +102,21 @@ class Evaluator:
             out["lpips"] = lp
         return out
 
-    def evaluate_dataset(self, dataset, out_dir: Optional[str] = None, limit: Optional[int] = None) -> dict:
+    def evaluate_dataset(
+        self,
+        dataset,
+        out_dir: Optional[str] = None,
+        limit: Optional[int] = None,
+        use_pred_pose: bool = True,
+    ) -> dict:
         from ..data.datasets import collate_batch
 
         rows = []
         n = len(dataset) if limit is None else min(limit, len(dataset))
         for i in range(n):
-            row = self.evaluate_view(collate_batch(dataset[i]))
+            row = self.evaluate_view(
+                collate_batch(dataset[i]), use_pred_pose=use_pred_pose
+            )
             rows.append({k: v for k, v in row.items() if not isinstance(v, np.ndarray) and v is not None})
             if out_dir:
                 os.makedirs(out_dir, exist_ok=True)

@@ -50,6 +50,11 @@ def lpips(pred: np.ndarray, gt: np.ndarray):
         import lpips as lpips_pkg
     except ImportError:
         return None
+    if not callable(getattr(lpips_pkg, "LPIPS", None)):
+        # A placeholder module shadowing the real package (e.g. an import
+        # stub installed so /root/reference stays importable) — same
+        # outcome as the package being absent.
+        return None
     if _lpips_model is None:
         _lpips_model = lpips_pkg.LPIPS(net="alex")
     with torch.no_grad():

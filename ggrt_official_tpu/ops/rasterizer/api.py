@@ -133,7 +133,8 @@ def render_depth(
     Returns (b, h, w).
     """
     cam_space = jnp.einsum(
-        "bij,bgj->bgi", invert_se3(extrinsics), homogenize_points(means)
+        "bij,bgj->bgi", invert_se3(extrinsics), homogenize_points(means),
+        precision=jax.lax.Precision.HIGHEST,
     )
     fake_color = cam_space[..., 2]
     if mode == "disparity":

@@ -87,7 +87,13 @@ def composite_gathered(
         T_before = T_after / one_minus
         live = jnp.cumprod((T_after >= T_EPS).astype(dtype), axis=1)
         weight = live * alpha * T_before  # (c, K, P)
-        out = jnp.einsum("ckp,ckc2->cpc2".replace("c2", "d"), weight, col)
+        # HIGHEST precision: a default-precision einsum runs the MXU in bf16
+        # passes on TPU and cost this path 2.3e-4 mean image error vs a
+        # float64 oracle (tools/diag_f64_oracle.py adjudicated: the Pallas
+        # kernel's VPU reductions were at 2e-7, this path was the wrong one).
+        out = jnp.einsum(
+            "ckp,ckd->cpd", weight, col, precision=jax.lax.Precision.HIGHEST
+        )
         T_final = jnp.prod(jnp.where(live > 0, one_minus, 1.0), axis=1)  # (c, P)
         return out + T_final[..., None] * background[None, None, :]
 

@@ -6,9 +6,13 @@ processes 128-Gaussian chunks as whole vector registers:
 
   * records are stored component-major (tiles, 8, K) holding the CHOLESKY
     factorization of each Gaussian's conic + its tile-LOCAL mean folded
-    into linear coefficients: rows [l00, l01, cu, l11, cv, log_op, 0, 0]
+    into linear coefficients: rows [l00, l01, cu, l11, cv, opacity, 0, 0]
     so that u = l00·x + l01·y + cu, v = l11·y + cv are screen-space
-    whitened offsets and power = log_op - (u² + v²)/2.
+    whitened offsets and alpha = opacity · exp(-(u² + v²)/2). Opacity is
+    stored RAW, not as log: TPU's f32 log carries ~3.4e-4 relative error
+    (measured, tools/diag_exp_precision.py) and the log→exp roundtrip the
+    round-1 kernel used cost the image ~2.3e-4 absolute vs the XLA
+    compositor, which computes op·exp(power) directly.
   * layout: pixels on sublanes (P = 1024 rows), Gaussians on lanes
     (chunks of 128). Per-Gaussian coefficients slice naturally as (1, CH)
     rows of the record block and broadcast against (P, 1) pixel-basis
@@ -36,8 +40,6 @@ early-out 1e-4) match /root/reference's external rasterizer contract
 """
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -48,8 +50,6 @@ from .tiling import TILE_H, TILE_W, TileBinning
 
 _CH = 128                      # gaussians per chunk (lane axis)
 _P = TILE_H * TILE_W           # pixels per tile (sublane axis)
-LOG_AMAX = math.log(ALPHA_MAX)
-LOG_AMIN = math.log(ALPHA_MIN)
 _PREC = jax.lax.Precision.HIGHEST
 
 
@@ -89,15 +89,16 @@ def _chunk_quantities(B, A):
     """Per-chunk math, exact f32 VPU broadcasts.
 
     B: (8, CH) record rows; A: (P, 3) pixel basis.
-    Returns (power2, alpha, om), each (P, CH)."""
+    Returns (u, v, e, araw, alpha, om), each (P, CH); e = exp(-q/2),
+    araw = op·e (unclamped), alpha gated+clamped to CUDA semantics."""
     X = A[:, 0:1]
     Y = A[:, 1:2]
     u = X * B[0:1, :] + Y * B[1:2, :] + B[2:3, :]
     v = Y * B[3:4, :] + B[4:5, :]
-    power2 = B[5:6, :] - 0.5 * (u * u + v * v)
-    alpha = jnp.exp(jnp.minimum(LOG_AMAX, power2))
-    alpha = jnp.where(power2 >= LOG_AMIN, alpha, 0.0)
-    return u, v, power2, alpha, 1.0 - alpha
+    e = jnp.exp(-0.5 * (u * u + v * v))
+    araw = B[5:6, :] * e
+    alpha = jnp.where(araw >= ALPHA_MIN, jnp.minimum(araw, ALPHA_MAX), 0.0)
+    return u, v, e, araw, alpha, 1.0 - alpha
 
 
 def _fwd_kernel(counts_ref, rec_ref, col_ref, acc_ref, tfin_ref, tst_ref, nexec_ref):
@@ -123,7 +124,7 @@ def _fwd_kernel(counts_ref, rec_ref, col_ref, acc_ref, tfin_ref, tst_ref, nexec_
         off = pl.multiple_of(c * _CH, _CH)
         B = rec_ref[0, :, pl.ds(off, _CH)]
         C = col_ref[0, :, pl.ds(off, _CH)]
-        _, _, _, alpha, om = _chunk_quantities(B, A)
+        _, _, _, _, alpha, om = _chunk_quantities(B, A)
         Tw = _cumprod_lanes(om)
         TT = T_run * Tw                      # (P, CH): T *after* gaussian g
         contrib = TT >= T_EPS
@@ -177,9 +178,14 @@ def _bwd_kernel(
         off = pl.multiple_of(c * _CH, _CH)
         B = rec_ref[0, :, pl.ds(off, _CH)]
         C = col_ref[0, :, pl.ds(off, _CH)]
-        u, v, power2, alpha, om = _chunk_quantities(B, A)
+        u, v, e, araw, alpha, om = _chunk_quantities(B, A)
         Tw = _cumprod_lanes(om)
-        T_start = tst_ref[0, :, pl.ds(c, 1)]           # (P, 1)
+        # Dynamic lane-index loads need 128 alignment; select the chunk's
+        # T-start column with a lane mask instead.
+        lane = jax.lax.broadcasted_iota(jnp.int32, tst_ref.shape[1:], 1)
+        T_start = jnp.sum(
+            jnp.where(lane == c, tst_ref[0], 0.0), axis=1, keepdims=True
+        )                                              # (P, 1)
         TT = T_start * Tw
         contrib = TT >= T_EPS
         Tb = TT / om
@@ -208,10 +214,12 @@ def _bwd_kernel(
         dalpha = jnp.where(
             contrib, dwdot * Tb - (sfx + accum + bgterm) / om, 0.0
         )
-        dpower2 = dalpha * alpha * (power2 < LOG_AMAX)  # (P, CH)
+        live = (araw >= ALPHA_MIN) & (araw < ALPHA_MAX)
+        daraw = jnp.where(live, dalpha, 0.0)            # (P, CH)
+        dq2 = daraw * araw                               # wrt -(u²+v²)/2
 
-        du = -u * dpower2
-        dv = -v * dpower2
+        du = -u * dq2
+        dv = -v * dq2
         X = A[:, 0:1]
         Y = A[:, 1:2]
         # d l00 = sum_p du * x ; d l01 = sum_p du * y ; d cu = sum_p du ...
@@ -220,13 +228,13 @@ def _bwd_kernel(
         dcu = jnp.sum(du, axis=0, keepdims=True)
         dl11 = jnp.sum(dv * Y, axis=0, keepdims=True)
         dcv = jnp.sum(dv, axis=0, keepdims=True)
-        dlog = jnp.sum(dpower2, axis=0, keepdims=True)
+        dop = jnp.sum(daraw * e, axis=0, keepdims=True)
         drec_ref[0, 0:1, pl.ds(off, _CH)] = dl00
         drec_ref[0, 1:2, pl.ds(off, _CH)] = dl01
         drec_ref[0, 2:3, pl.ds(off, _CH)] = dcu
         drec_ref[0, 3:4, pl.ds(off, _CH)] = dl11
         drec_ref[0, 4:5, pl.ds(off, _CH)] = dcv
-        drec_ref[0, 5:6, pl.ds(off, _CH)] = dlog
+        drec_ref[0, 5:6, pl.ds(off, _CH)] = dop
 
         return accum + jnp.sum(vchunk, axis=1, keepdims=True)
 
@@ -354,17 +362,16 @@ def build_records(pg: ProjectedGaussians, binning: TileBinning):
     ca, cb, cc = conic[..., 0], conic[..., 1], conic[..., 2]
     # Cholesky of the conic [[ca, cb], [cb, cc]]; invalid (padded/culled)
     # entries are clamped to keep sqrt-gradients finite — their alpha is
-    # killed by log_op = log(0) → power below the 1/255 cutoff.
+    # killed by opacity 0 → below the 1/255 cutoff.
     ca_s = jnp.maximum(ca, 1e-12)
     l00 = jnp.sqrt(ca_s)
     l01 = cb / l00
     l11 = jnp.sqrt(jnp.maximum(cc - l01 * l01, 1e-12))
     cu = -(l00 * mx + l01 * my)
     cv = -l11 * my
-    log_op = jnp.log(jnp.maximum(opacity, 1e-35))
 
     zeros = jnp.zeros_like(ca)
-    records = jnp.stack([l00, l01, cu, l11, cv, log_op, zeros, zeros], axis=1)
+    records = jnp.stack([l00, l01, cu, l11, cv, opacity, zeros, zeros], axis=1)
     colors = jnp.stack(
         [color[..., 0], color[..., 1], color[..., 2], jnp.zeros_like(ca)], axis=1
     )  # (t, 4, K)

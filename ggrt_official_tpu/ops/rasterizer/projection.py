@@ -99,8 +99,11 @@ def project_gaussians(
     ones = jnp.ones_like(means[..., :1])
     means_h = jnp.concatenate([means, ones], axis=-1)
 
-    p_view = jnp.einsum("ij,gj->gi", view, means_h)[..., :3]
-    p_hom = jnp.einsum("ij,gj->gi", full_proj, means_h)
+    # HIGHEST: default-precision einsums run bf16 MXU passes on TPU, which
+    # would truncate screen positions to ~1e-2 px.
+    _hi = jax.lax.Precision.HIGHEST
+    p_view = jnp.einsum("ij,gj->gi", view, means_h, precision=_hi)[..., :3]
+    p_hom = jnp.einsum("ij,gj->gi", full_proj, means_h, precision=_hi)
     p_w = 1.0 / (p_hom[..., 3] + 1e-7)
     p_ndc = p_hom[..., :3] * p_w[..., None]
 

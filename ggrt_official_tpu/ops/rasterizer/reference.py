@@ -8,6 +8,7 @@ for tiny-scene tests; differentiable end-to-end including camera gradients.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS, ProjectedGaussians, project_gaussians
@@ -70,7 +71,9 @@ def composite_pixels(
     live = jnp.cumprod(live.astype(alpha.dtype), axis=1)  # prefix property
 
     weight = live * alpha * T_before                    # (p, g)
-    out = jnp.einsum("pg,gc->pc", weight, color)
+    out = jnp.einsum(
+        "pg,gc->pc", weight, color, precision=jax.lax.Precision.HIGHEST
+    )
     T_final = jnp.prod(jnp.where(live > 0, one_minus, 1.0), axis=1)
     return out + T_final[:, None] * background[None, :]
 

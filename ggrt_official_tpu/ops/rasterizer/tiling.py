@@ -80,34 +80,45 @@ def bin_gaussians(
 
     flat_tile = jnp.where(pair_valid, tile_id, num_tiles).reshape(-1).astype(jnp.int32)
     flat_rank = jnp.broadcast_to(rank[:, None], (g, max_dup)).reshape(-1)
-    flat_gid = jnp.broadcast_to(
-        jnp.arange(g, dtype=jnp.int32)[:, None], (g, max_dup)
-    ).reshape(-1)
 
     # Pack (tile, depth-rank) into one int32 key when the ranges allow —
     # a single-key sort is much cheaper than the lexicographic two-key
     # sort (the CUDA reference packs (tileID | depth) into 64 bits).
+    # Sorting ONLY the packed key (no payload operands) cuts the sort's
+    # HBM traffic 3x: the tile is recovered by shifting, and the gaussian
+    # id by indexing the depth order with the rank (order[rank[g]] == g) —
+    # and only for the K selected slots per tile, not all g*max_dup keys.
     rank_bits = max(g.bit_length(), 1)
+    tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     if (num_tiles + 1).bit_length() + rank_bits <= 31:
         packed = (flat_tile << rank_bits) | flat_rank
-        _, tile_sorted, gid_sorted = jax.lax.sort(
-            (packed, flat_tile, flat_gid), num_keys=1
-        )
+        (packed_sorted,) = jax.lax.sort((packed,), num_keys=1)
+        starts = jnp.searchsorted(
+            packed_sorted, tile_range << rank_bits, side="left"
+        ).astype(jnp.int32)
+        counts = jnp.minimum(starts[1:] - starts[:-1], max_per_tile)
+
+        k = jnp.arange(max_per_tile, dtype=jnp.int32)
+        positions = starts[:-1, None] + k[None, :]
+        in_seg = k[None, :] < counts[:, None]
+        positions = jnp.clip(positions, 0, packed_sorted.shape[0] - 1)
+        sel_rank = packed_sorted[positions] & ((1 << rank_bits) - 1)  # (t, K)
+        ids = jnp.where(in_seg, order.astype(jnp.int32)[sel_rank], -1)
     else:
+        flat_gid = jnp.broadcast_to(
+            jnp.arange(g, dtype=jnp.int32)[:, None], (g, max_dup)
+        ).reshape(-1)
         tile_sorted, _, gid_sorted = jax.lax.sort(
             (flat_tile, flat_rank, flat_gid), num_keys=2
         )
+        starts = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
+        counts = jnp.minimum(starts[1:] - starts[:-1], max_per_tile)
 
-    # Per-tile segments: starts via searchsorted over the sorted tile column.
-    tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
-    counts = jnp.minimum(starts[1:] - starts[:-1], max_per_tile)
-
-    k = jnp.arange(max_per_tile, dtype=jnp.int32)
-    positions = starts[:-1, None] + k[None, :]
-    in_seg = k[None, :] < counts[:, None]
-    positions = jnp.clip(positions, 0, tile_sorted.shape[0] - 1)
-    ids = jnp.where(in_seg, gid_sorted[positions], -1)
+        k = jnp.arange(max_per_tile, dtype=jnp.int32)
+        positions = starts[:-1, None] + k[None, :]
+        in_seg = k[None, :] < counts[:, None]
+        positions = jnp.clip(positions, 0, tile_sorted.shape[0] - 1)
+        ids = jnp.where(in_seg, gid_sorted[positions], -1)
 
     return TileBinning(gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx)
 

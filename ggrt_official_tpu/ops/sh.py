@@ -17,6 +17,7 @@ coefficients are ordered m = -l..l, with the degree-1 basis being
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Constants from the 3DGS CUDA kernel (auxiliary.h), extended to degree 4.
@@ -240,5 +241,9 @@ def rotate_sh(coeffs: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
     out = []
     for l, m in enumerate(mats):
         block = coeffs[..., l * l : (l + 1) * (l + 1)]
-        out.append(jnp.einsum("...ij,...j->...i", m, block))
+        out.append(
+            jnp.einsum(
+                "...ij,...j->...i", m, block, precision=jax.lax.Precision.HIGHEST
+            )
+        )
     return jnp.concatenate(out, axis=-1)

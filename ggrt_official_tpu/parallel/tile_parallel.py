@@ -129,7 +129,9 @@ def _render_tile_parallel_pallas(
 
     acc, tfin = sharded_core(records, colors, counts)
     acc, tfin = acc[:num_tiles], tfin[:num_tiles]
-    img = acc[:, :3, :] + jnp.swapaxes(tfin, 1, 2) * background[None, :, None]
+    # acc is (t, P, 4) channel-minor: move channels to axis 1 before mixing
+    # in the background (slicing axis 1 directly would take pixels).
+    img = jnp.swapaxes(acc[..., :3], 1, 2) + jnp.swapaxes(tfin, 1, 2) * background[None, :, None]
     img = img.reshape(nty, ntx, 3, tiling.TILE_H, tiling.TILE_W)
     img = img.transpose(2, 0, 3, 1, 4).reshape(3, nty * tiling.TILE_H, ntx * tiling.TILE_W)
     return img[:, :h, :w]

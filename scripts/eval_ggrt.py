@@ -20,6 +20,12 @@ def main():
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--synthetic_seed", type=int, default=0,
+                    help="procedural scene seed (pick one outside the training "
+                         "mix for a held-out-scene eval)")
+    ap.add_argument("--gt_pose", action="store_true",
+                    help="render with dataset extrinsics instead of IPO-Net "
+                         "poses (isolates G-3DGS quality from pose quality)")
     args = ap.parse_args()
 
     from ggrt_official_tpu.config import pretrain_config
@@ -45,7 +51,7 @@ def main():
 
     if args.synthetic:
         ds = SyntheticPlanesDataset(
-            SyntheticSceneSpec(n_views=12, image_size=(64, 96)),
+            SyntheticSceneSpec(n_views=12, image_size=(64, 96), seed=args.synthetic_seed),
             mode="test", num_source_views=4,
         )
     else:
@@ -67,7 +73,9 @@ def main():
             print(f"loaded checkpoint at step {payload['step']}")
 
     evaluator = Evaluator(cfg, params)
-    summary = evaluator.evaluate_dataset(ds, out_dir=args.out, limit=args.limit)
+    summary = evaluator.evaluate_dataset(
+        ds, out_dir=args.out, limit=args.limit, use_pred_pose=not args.gt_pose
+    )
     print(json.dumps(summary, indent=2))
 
 

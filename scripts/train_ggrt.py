@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--out", default="out/pretrain")
     ap.add_argument("--num_source_views", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true", help="procedural scene (smoke test)")
+    ap.add_argument("--synthetic_scenes", type=int, default=1,
+                    help="number of procedural scenes (different seeds) to mix")
     ap.add_argument("--tiny", action="store_true", help="tiny model config (smoke test)")
     ap.add_argument("--override", nargs="*", default=[], help="cfg overrides key=value")
     args = ap.parse_args()
@@ -61,10 +63,16 @@ def main():
     apply_overrides(cfg, dict(kv.split("=", 1) for kv in args.override))
 
     if args.synthetic:
-        ds = SyntheticPlanesDataset(
-            SyntheticSceneSpec(n_views=12, image_size=(64, 96)),
-            num_source_views=min(cfg.train.num_source_views, 4),
-        )
+        from ggrt_official_tpu.data.datasets import SyntheticSceneSpec as _Spec
+
+        scenes_ds = [
+            SyntheticPlanesDataset(
+                _Spec(n_views=12, image_size=(64, 96), seed=s_),
+                num_source_views=min(cfg.train.num_source_views, 4),
+            )
+            for s_ in range(args.synthetic_scenes)
+        ]
+        ds = scenes_ds[0]
     else:
         ds = LLFFTestDataset(
             cfg.train.rootdir, "train", scenes=tuple(args.scenes),
@@ -73,7 +81,11 @@ def main():
 
     def batches():
         for i in itertools.count():
-            yield collate_batch(ds[i % len(ds)])
+            if args.synthetic and args.synthetic_scenes > 1:
+                d = scenes_ds[i % len(scenes_ds)]
+                yield collate_batch(d[(i // len(scenes_ds)) % len(d)])
+            else:
+                yield collate_batch(ds[i % len(ds)])
 
     trainer = GGRtTrainer(cfg)
     train_loop(trainer, batches(), args.out)

@@ -55,6 +55,7 @@ class TestResNetEncoderParity:
     def test_forward(self, stride):
         from ggrt.model.feature_network import ResNetEncoder as TorchEnc
 
+        torch.manual_seed(0)  # order-independent weights (see _ref_model note)
         tm = TorchEnc(num_layers=18, num_input_images=2, pretrained=False,
                       out_chs=32, stride=stride).eval()
         randomize_bn_stats(tm)
@@ -101,6 +102,7 @@ class TestDepthPoseNetParity:
     def test_full_forward(self):
         from ggrt.depth_pose_network import DepthPoseNet
 
+        torch.manual_seed(0)  # order-independent weights (see _ref_model note)
         tm = DepthPoseNet(pretrained=False, iters=4).eval()
         randomize_bn_stats(tm, seed=7)
 
@@ -246,6 +248,11 @@ class TestEncoderEpipolarParity:
         return cfg
 
     def _ref_model(self, cfg):
+        # Reseed right before construction: the module-level seed is consumed
+        # by whichever torch-using tests ran earlier in the session, and an
+        # unlucky global-RNG init can push the 2e-2 end-to-end tolerance over
+        # the line (observed: passes alone, fails in the full suite).
+        torch.manual_seed(0)
         from ggrt.model.pixelsplat.encoder.backbone.backbone_resnet import (
             BackboneResnetCfg,
         )
