@@ -82,6 +82,10 @@ class EncoderEpipolar(nn.Module):
             return feats
 
         if crop is not None:
+            # clip_h/clip_w may be TRACED crop indices (crop_size is static):
+            # all offset arithmetic below stays traced and slicing uses
+            # lax.dynamic_slice, so a scan over crop tiles compiles ONE tile
+            # graph instead of crop_size² copies (deferred-BP finetune).
             clip_h, clip_w, crop_size = crop
             hc, wc = h // crop_size, w // crop_size
             y0, x0 = clip_h * hc, clip_w * wc
@@ -102,10 +106,14 @@ class EncoderEpipolar(nn.Module):
                 )
                 def crop_rays(t):
                     t = t.reshape(b, v, h // ds, w // ds, -1)
-                    t = t[:, :, y0 // ds : (y0 + hc) // ds, x0 // ds : (x0 + wc) // ds]
+                    t = jax.lax.dynamic_slice(
+                        t,
+                        (0, 0, y0 // ds, x0 // ds, 0),
+                        (b, v, hc // ds, wc // ds, t.shape[-1]),
+                    )
                     return t.reshape(b, v, -1, t.shape[-1])
                 rays = (crop_rays(xy), crop_rays(origins), crop_rays(dirs))
-                token_slice = (y0 // ds, (y0 + hc) // ds, x0 // ds, (x0 + wc) // ds)
+                token_slice = (y0 // ds, x0 // ds, hc // ds, wc // ds)
             feats, sampling = EpipolarTransformer(
                 cfg.epipolar_transformer, cfg.d_feature, name="epipolar_transformer"
             )(
@@ -119,7 +127,9 @@ class EncoderEpipolar(nn.Module):
             )
 
         # High-resolution skip (on the cropped image region).
-        skip_in = images_nhwc[:, :, y0 : y0 + hc, x0 : x0 + wc, :]
+        skip_in = jax.lax.dynamic_slice(
+            images_nhwc, (0, 0, y0, x0, 0), (b, v, hc, wc, 3)
+        )
         skip = nn.Conv(cfg.d_feature, (7, 7), name="high_resolution_skip")(
             skip_in.reshape(b * v, hc, wc, 3)
         )
@@ -142,7 +152,9 @@ class EncoderEpipolar(nn.Module):
         raw = raw.reshape(b, v, hc * wc, cfg.num_surfaces, 2 + adapter.d_in)
 
         xy_ray, _ = sample_image_grid((h, w))
-        xy_ray = xy_ray[y0 : y0 + hc, x0 : x0 + wc].reshape(-1, 2)  # (r, 2)
+        xy_ray = jax.lax.dynamic_slice(
+            xy_ray, (y0, x0, 0), (hc, wc, 2)
+        ).reshape(-1, 2)  # (r, 2)
         offset_xy = nn.sigmoid(raw[..., :2])
         pixel_size = jnp.array([1.0 / w, 1.0 / h])
         xy_ray = xy_ray[None, None, :, None, :] + (offset_xy - 0.5) * pixel_size

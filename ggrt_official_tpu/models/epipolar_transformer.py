@@ -14,6 +14,7 @@ from __future__ import annotations
 from functools import partial
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config import EpipolarTransformerCfg, ImageSelfAttentionCfg
@@ -149,9 +150,11 @@ class EpipolarTransformer(nn.Module):
         # Queries: the (cropped) downscaled pixel tokens; keys/values: the
         # epipolar samples for that pixel (ov == 1 in the pairwise setup).
         if token_slice is not None:
-            (y0, y1, x0, x1) = token_slice
-            q_tokens = down[:, :, y0:y1, x0:x1, :]
-            hq, wq = y1 - y0, x1 - x0
+            # (y0, x0) may be traced; (hq, wq) are static sizes.
+            (y0, x0, hq, wq) = token_slice
+            q_tokens = jax.lax.dynamic_slice(
+                down, (0, 0, y0, x0, 0), (b, v, hq, wq, down.shape[-1])
+            )
         else:
             q_tokens = down
             hq, wq = hd, wd

@@ -43,11 +43,17 @@ def gather_tile_records(pg: ProjectedGaussians, gaussian_ids: jnp.ndarray):
     dtype = pg.mean2d.dtype
     safe_ids = jnp.maximum(gaussian_ids, 0)
     present = (gaussian_ids >= 0).astype(dtype)
+    # Fused single gather (see pallas_composite.build_records): one
+    # (g, 9)-row gather + one scatter-add transpose instead of four each.
+    comp = jnp.concatenate(
+        [pg.mean2d, pg.conic, pg.color, pg.opacity[:, None]], axis=-1
+    )
+    gath = comp[safe_ids]
     return (
-        pg.mean2d[safe_ids],
-        pg.conic[safe_ids],
-        pg.color[safe_ids],
-        pg.opacity[safe_ids] * present,
+        gath[..., 0:2],
+        gath[..., 2:5],
+        gath[..., 5:8],
+        gath[..., 8] * present,
     )
 
 

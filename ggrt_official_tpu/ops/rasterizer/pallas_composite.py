@@ -348,10 +348,19 @@ def build_records(pg: ProjectedGaussians, binning: TileBinning):
     safe_ids = jnp.maximum(ids, 0)
     present = (ids >= 0).astype(jnp.float32)
 
-    mean2d = pg.mean2d[safe_ids]                      # (t, K, 2)
-    conic = pg.conic[safe_ids]                        # (t, K, 3)
-    color = pg.color[safe_ids]                        # (t, K, 3)
-    opacity = pg.opacity[safe_ids] * present          # (t, K)
+    # One fused (g, 9)-row gather instead of four per-component gathers:
+    # measured 7.7 -> 4.0 ms fwd and 19.4 -> 14.3 ms fwd+vjp at the bench
+    # population (tools/diag_records_fused.py, bit-exact) — the VJP becomes
+    # a single scatter-add into the packed component matrix, whose pullback
+    # through concatenate is just slicing.
+    comp = jnp.concatenate(
+        [pg.mean2d, pg.conic, pg.color, pg.opacity[:, None]], axis=-1
+    )  # (g, 9)
+    gath = comp[safe_ids]                             # (t, K, 9)
+    mean2d = gath[..., 0:2]
+    conic = gath[..., 2:5]
+    color = gath[..., 5:8]
+    opacity = gath[..., 8] * present
 
     t_idx = jnp.arange(num_tiles, dtype=jnp.float32)
     ox = (t_idx % ntx) * TILE_W + (TILE_W - 1) / 2.0

@@ -27,6 +27,35 @@ from .projection import ProjectedGaussians
 
 TILE_H = 8
 TILE_W = 128
+DEPTH_BITS = 20          # quantized-depth key width (see _quantize_depth)
+_MIN_DEPTH_BITS = 12     # below this, fall back to exact rank keys
+
+
+def _quantize_depth(depth, visible, bits: int):
+    """Monotone fixed-point depth key in [0, 2^bits), like the CUDA kernel's
+    (tileID | float-depth-bits) packing (SURVEY.md §2.1 step 4) but uniform
+    over the visible depth range — ~2e-5 relative resolution at 20 bits.
+    Ties (same quantized depth) are broken by gaussian id via the stable
+    sort, identically in the sort and counting binning paths. Invisible
+    entries get the max key so they sort behind everything."""
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(visible, depth, big))
+    hi = jnp.max(jnp.where(visible, depth, -big))
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((depth - lo) / span, 0.0, 1.0) * ((1 << bits) - 2)
+    q = q.astype(jnp.int32)
+    return jnp.where(visible, q, (1 << bits) - 1)
+
+
+def _enum_tiles(slot, nx_safe):
+    """slot // nx and slot % nx without integer division: hardware int div
+    is ~7 ms at bench scale; floor((slot + 0.5) · (1/nx)) is exact for
+    slot < 2^12 (the +0.5 absorbs the reciprocal's rounding) and runs at
+    VPU mul speed."""
+    recip = 1.0 / nx_safe.astype(jnp.float32)
+    dy = jnp.floor((slot.astype(jnp.float32) + 0.5) * recip).astype(jnp.int32)
+    dx = slot - dy * nx_safe
+    return dy, dx
 
 
 class TileBinning(NamedTuple):
@@ -68,43 +97,43 @@ def bin_gaussians(
     # Enumerate up to max_dup tiles per Gaussian, row-major over the AABB.
     slot = jnp.arange(max_dup, dtype=jnp.int32)
     nx_safe = jnp.maximum(nx, 1)
-    ty = y0[:, None] + slot[None, :] // nx_safe[:, None]
-    tx = x0[:, None] + slot[None, :] % nx_safe[:, None]
+    dy, dx = _enum_tiles(slot[None, :], nx_safe[:, None])
+    ty = y0[:, None] + dy
+    tx = x0[:, None] + dx
     in_box = slot[None, :] < (nx * ny)[:, None]
     tile_id = ty * ntx + tx  # (g, max_dup)
     pair_valid = in_box & visible[:, None]
 
-    # Depth rank as the secondary sort key (front-to-back inside each tile).
-    order = jnp.argsort(jnp.where(visible, pg.depth, jnp.inf))
-    rank = jnp.zeros(g, dtype=jnp.int32).at[order].set(jnp.arange(g, dtype=jnp.int32))
-
     flat_tile = jnp.where(pair_valid, tile_id, num_tiles).reshape(-1).astype(jnp.int32)
-    flat_rank = jnp.broadcast_to(rank[:, None], (g, max_dup)).reshape(-1)
 
-    # Pack (tile, depth-rank) into one int32 key when the ranges allow —
-    # a single-key sort is much cheaper than the lexicographic two-key
-    # sort (the CUDA reference packs (tileID | depth) into 64 bits).
-    # Sorting ONLY the packed key (no payload operands) cuts the sort's
-    # HBM traffic 3x: the tile is recovered by shifting, and the gaussian
-    # id by indexing the depth order with the rank (order[rank[g]] == g) —
-    # and only for the K selected slots per tile, not all g*max_dup keys.
-    rank_bits = max(g.bit_length(), 1)
     tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    if (num_tiles + 1).bit_length() + rank_bits <= 31:
-        packed = (flat_tile << rank_bits) | flat_rank
-        (packed_sorted,) = jax.lax.sort((packed,), num_keys=1)
+    tile_bits = (num_tiles + 1).bit_length()
+    qbits = min(DEPTH_BITS, 31 - tile_bits)
+    if qbits >= _MIN_DEPTH_BITS:
+        # Pack (tile, quantized-depth) into one int32 key — the CUDA
+        # reference packs (tileID | float-depth) into 64 bits and radix
+        # sorts. Quantizing the depth skips the exact-rank machinery
+        # entirely (an N-element argsort + a rank scatter, ~9 ms at bench
+        # scale); the gaussian id rides as the sole sort payload and ties
+        # break by id via the stable sort.
+        q = _quantize_depth(pg.depth, visible, qbits)
+        flat_q = jnp.broadcast_to(q[:, None], (g, max_dup)).reshape(-1)
+        flat_gid = jnp.broadcast_to(
+            jnp.arange(g, dtype=jnp.int32)[:, None], (g, max_dup)
+        ).reshape(-1)
+        packed = (flat_tile << qbits) | flat_q
+        packed_sorted, gid_sorted = jax.lax.sort((packed, flat_gid), num_keys=1)
         starts = jnp.searchsorted(
-            packed_sorted, tile_range << rank_bits, side="left"
+            packed_sorted, tile_range << qbits, side="left"
         ).astype(jnp.int32)
-        counts = jnp.minimum(starts[1:] - starts[:-1], max_per_tile)
-
-        k = jnp.arange(max_per_tile, dtype=jnp.int32)
-        positions = starts[:-1, None] + k[None, :]
-        in_seg = k[None, :] < counts[:, None]
-        positions = jnp.clip(positions, 0, packed_sorted.shape[0] - 1)
-        sel_rank = packed_sorted[positions] & ((1 << rank_bits) - 1)  # (t, K)
-        ids = jnp.where(in_seg, order.astype(jnp.int32)[sel_rank], -1)
     else:
+        # Huge images: not enough bits for a packed key — exact-rank
+        # lexicographic fallback.
+        order = jnp.argsort(jnp.where(visible, pg.depth, jnp.inf))
+        rank = jnp.zeros(g, dtype=jnp.int32).at[order].set(
+            jnp.arange(g, dtype=jnp.int32)
+        )
+        flat_rank = jnp.broadcast_to(rank[:, None], (g, max_dup)).reshape(-1)
         flat_gid = jnp.broadcast_to(
             jnp.arange(g, dtype=jnp.int32)[:, None], (g, max_dup)
         ).reshape(-1)
@@ -112,13 +141,13 @@ def bin_gaussians(
             (flat_tile, flat_rank, flat_gid), num_keys=2
         )
         starts = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
-        counts = jnp.minimum(starts[1:] - starts[:-1], max_per_tile)
 
-        k = jnp.arange(max_per_tile, dtype=jnp.int32)
-        positions = starts[:-1, None] + k[None, :]
-        in_seg = k[None, :] < counts[:, None]
-        positions = jnp.clip(positions, 0, tile_sorted.shape[0] - 1)
-        ids = jnp.where(in_seg, gid_sorted[positions], -1)
+    counts = jnp.minimum(starts[1:] - starts[:-1], max_per_tile)
+    k = jnp.arange(max_per_tile, dtype=jnp.int32)
+    positions = starts[:-1, None] + k[None, :]
+    in_seg = k[None, :] < counts[:, None]
+    positions = jnp.clip(positions, 0, gid_sorted.shape[0] - 1)
+    ids = jnp.where(in_seg, gid_sorted[positions], -1)
 
     return TileBinning(gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx)
 
@@ -211,8 +240,16 @@ def bin_gaussians_counting(
     ny = y1 - y0
     visible = visible & (nx > 0) & (ny > 0)
 
-    # Depth order once (N keys).
-    order = jnp.argsort(jnp.where(visible, pg.depth, jnp.inf)).astype(jnp.int32)
+    # Depth order once (N keys) — the same quantized key the sort path
+    # packs, so the two backends produce bit-identical lists (argsort is
+    # stable: quantization ties break by gaussian id in both).
+    tile_bits = (num_tiles + 1).bit_length()
+    qbits = min(DEPTH_BITS, 31 - tile_bits)
+    if qbits >= _MIN_DEPTH_BITS:
+        depth_key = _quantize_depth(pg.depth, visible, qbits)
+    else:
+        depth_key = jnp.where(visible, pg.depth, jnp.inf)
+    order = jnp.argsort(depth_key).astype(jnp.int32)
 
     # Enumerate dup slots in depth order -> entries are already grouped
     # front-to-back, so a *stable* counting sort by tile preserves depth
@@ -221,8 +258,9 @@ def bin_gaussians_counting(
     x0o, y0o, nxo, nyo = x0[order], y0[order], nx[order], ny[order]
     viso = visible[order]
     nx_safe = jnp.maximum(nxo, 1)
-    ty = y0o[:, None] + slot[None, :] // nx_safe[:, None]
-    tx = x0o[:, None] + slot[None, :] % nx_safe[:, None]
+    dy_, dx_ = _enum_tiles(slot[None, :], nx_safe[:, None])
+    ty = y0o[:, None] + dy_
+    tx = x0o[:, None] + dx_
     in_box = (slot[None, :] < (nxo * nyo)[:, None]) & viso[:, None]
     tile_flat = jnp.where(in_box, ty * ntx + tx, num_tiles).reshape(-1).astype(jnp.int32)
     gid_flat = jnp.broadcast_to(order[:, None], (g, max_dup)).reshape(-1)

@@ -297,25 +297,45 @@ class GGRtFinetuneTrainer(GGRtTrainer):
         rgb_grad = jax.grad(lambda x: masked_l2_image_loss({"rgb": x}, gt))(rgb_full)
 
         # 2. Per-tile re-render with gradient, injecting the pixel grads.
+        # The crop index is TRACED (the model's crop path slices with
+        # lax.dynamic_slice), so the lax.scan below compiles ONE tile graph
+        # regardless of crop_size — the round-1 python loop compiled
+        # crop_size² copies, a quadratic compile blow-up at the large crops
+        # the big-image path exists for.
+        bsz, vt = rgb_grad.shape[:2]
+
         def tile_render(params, i, j, tile_rng):
             ret_p, _ = self.model.apply(
                 params, b, state.step, crop=(i, j, crop_size),
                 deterministic=False, rngs={"sample": tile_rng},
                 method="gaussian_forward",
             )
-            return ret_p["rgb"][:, :, :, out_h * i : out_h * (i + 1), out_w * j : out_w * (j + 1)]
+            return jax.lax.dynamic_slice(
+                ret_p["rgb"],
+                (0, 0, 0, out_h * i, out_w * j),
+                (bsz, vt, 3, out_h, out_w),
+            )
 
-        gauss_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         tile_rngs = jax.random.split(rng, crop_size * crop_size)
-        for i in range(crop_size):
-            for j in range(crop_size):
-                cot = rgb_grad[:, :, :, out_h * i : out_h * (i + 1), out_w * j : out_w * (j + 1)]
-                _, vjp_fn = jax.vjp(
-                    lambda p: tile_render(p, i, j, tile_rngs[i * crop_size + j]),
-                    state.params,
-                )
-                (g,) = vjp_fn(cot)
-                gauss_grads = jax.tree_util.tree_map(jnp.add, gauss_grads, g)
+        ii = jnp.repeat(jnp.arange(crop_size, dtype=jnp.int32), crop_size)
+        jj = jnp.tile(jnp.arange(crop_size, dtype=jnp.int32), crop_size)
+
+        def scan_body(acc, xs):
+            i, j, tile_rng = xs
+            cot = jax.lax.dynamic_slice(
+                rgb_grad,
+                (0, 0, 0, out_h * i, out_w * j),
+                (bsz, vt, 3, out_h, out_w),
+            )
+            _, vjp_fn = jax.vjp(lambda p: tile_render(p, i, j, tile_rng), state.params)
+            (g,) = vjp_fn(cot)
+            return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+        gauss_grads, _ = jax.lax.scan(
+            scan_body,
+            jax.tree_util.tree_map(jnp.zeros_like, state.params),
+            (ii, jj, tile_rngs),
+        )
 
         # Merge: pose grads from the sfm loss, gaussian grads from deferred BP.
         def merge(path_pose, path_gauss):

@@ -88,11 +88,14 @@ class TestTrainer:
 
 class TestFinetuneTrainer:
     @pytest.mark.slow
-    def test_deferred_bp_step(self, dataset):
+    @pytest.mark.parametrize("crop_size", [2, 4])
+    def test_deferred_bp_step(self, dataset, crop_size):
+        # crop_size=4 exercises the lax.scan tile loop (one traced tile
+        # graph; the round-1 python loop would have compiled 16 copies).
         from ggrt_official_tpu.training.trainer import GGRtFinetuneTrainer
 
         cfg = tiny_cfg()
-        cfg.train.crop_size = 2
+        cfg.train.crop_size = crop_size
         cfg.train.use_pred_pose = False
         trainer = GGRtFinetuneTrainer(cfg)
         batch = collate_batch(dataset[0])
