@@ -136,6 +136,14 @@ class TrainCfg:
     lrate_decay_factor: float = 0.5
     use_pred_pose: bool = True
     use_depth_loss: bool = True
+    # State-machine schedule (train_ggrt_stable.py:83 runs 'joint' live; the
+    # commented staged schedule at :78-82 is pose_only -> nerf_only -> joint).
+    machine: str = "joint"
+    # compose_joint_loss alpha = 2^(-coeff*step) (dgaussian.py:115-121).
+    # The reference's 1e-5 only shifts weight onto the gaussian branch after
+    # ~100k steps; short runs must raise this or the gaussian branch trains
+    # at <1% effective LR for the whole run.
+    joint_coefficient: float = 1e-5
     optimizer: OptimizerCfg = field(default_factory=OptimizerCfg)
 
     # finetune-specific
@@ -175,6 +183,15 @@ def _apply(obj: Any, overrides: dict) -> Any:
             current = getattr(obj, head)
             if dataclasses.is_dataclass(current) and isinstance(value, dict):
                 _apply(current, value)
+            elif isinstance(current, bool) and isinstance(value, str):
+                # bool("False") is True — parse CLI-style strings explicitly.
+                low = value.strip().lower()
+                if low in ("true", "1", "yes", "on"):
+                    setattr(obj, head, True)
+                elif low in ("false", "0", "no", "off"):
+                    setattr(obj, head, False)
+                else:
+                    raise ValueError(f"can't parse bool override {head}={value!r}")
             else:
                 setattr(obj, head, type(current)(value) if current is not None else value)
     return obj

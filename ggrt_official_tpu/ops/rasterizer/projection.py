@@ -109,6 +109,7 @@ def project_gaussians(
 
     size = jnp.array([w, h], dtype=means.dtype)
     mean2d = ndc_to_pixel(p_ndc[..., :2], size)
+    mean2d = jnp.clip(mean2d, -1e6, 1e6)  # see conic clamp note below
 
     # EWA: cov2d = J W Σ Wᵀ Jᵀ with the CUDA kernel's frustum clamping.
     fov = get_fov(intrinsics[None])[0]
@@ -143,10 +144,27 @@ def project_gaussians(
     b = jnp.sum(m0 * u1, axis=-1)
     c = jnp.sum(m1 * u1, axis=-1) + LOWPASS
 
+    # Degenerate-pose guard: under garbage predicted poses (joint training
+    # before the pose net converges) cov2d entries can overflow, making
+    # det = inf - inf = NaN, which then poisons every gradient in the step
+    # even though such gaussians render nothing. Clamp to a range where
+    # a*c stays finite in f32; normal scenes sit many orders below it.
+    a = jnp.clip(a, -1e15, 1e15)
+    b = jnp.clip(b, -1e15, 1e15)
+    c = jnp.clip(c, -1e15, 1e15)
+
     det = a * c - b * b
     det_valid = det > 0.0
     det_safe = jnp.where(det_valid, det, 1.0)
-    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
+    # Conic/mean clamps (same degenerate-pose guard): an inf conic or a
+    # wildly off-screen mean turns the compositor backward into 0*inf NaNs.
+    # With |conic| <= 1e15 and |mean2d| <= 1e6 every power/whitened-offset
+    # stays finite in f32, alphas underflow to zero, and the VJP of such
+    # gaussians is exactly zero instead of NaN. Real scenes sit many orders
+    # below both bounds.
+    conic = jnp.clip(
+        jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1), -1e15, 1e15
+    )
 
     # Radius is tile-binning metadata (integer pixels) — semantically
     # non-differentiable. Without stop_gradient, sqrt(0) under ceil's zero

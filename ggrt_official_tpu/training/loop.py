@@ -83,7 +83,11 @@ def train_loop(
     batch = first
     try:
         while step < n_iters:
-            machine = machine_schedule(step) if machine_schedule else "joint"
+            machine = (
+                machine_schedule(step)
+                if machine_schedule
+                else getattr(cfg.train, "machine", "joint")
+            )
             aux = trainer.train_iteration(batch, machine=machine)
             step += 1
 

@@ -91,7 +91,7 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
         sfm_loss = sfm["loss"]
         loss_all = jnp.where(
             mid == state_lib.STATE_JOINT,
-            compose_joint_loss(sfm_loss, coarse_loss, step),
+            compose_joint_loss(sfm_loss, coarse_loss, step, cfg.train.joint_coefficient),
             jnp.where(
                 mid == state_lib.STATE_POSE_ONLY,
                 sfm_loss,
@@ -219,7 +219,9 @@ class GGRtTrainer:
             sfm_loss = sfm["loss"]
             loss_all = jnp.where(
                 machine_id == state_lib.STATE_JOINT,
-                compose_joint_loss(sfm_loss, coarse_loss, state.step),
+                compose_joint_loss(
+                    sfm_loss, coarse_loss, state.step, cfg.train.joint_coefficient
+                ),
                 jnp.where(
                     machine_id == state_lib.STATE_POSE_ONLY,
                     sfm_loss,

@@ -147,7 +147,9 @@ class CachedGGRtTrainer(GGRtTrainer):
             sfm_loss = sfm["loss"]
             loss_all = jnp.where(
                 machine_id == state_lib.STATE_JOINT,
-                compose_joint_loss(sfm_loss, coarse_loss, state.step),
+                compose_joint_loss(
+                    sfm_loss, coarse_loss, state.step, cfg.train.joint_coefficient
+                ),
                 jnp.where(
                     machine_id == state_lib.STATE_POSE_ONLY,
                     sfm_loss,

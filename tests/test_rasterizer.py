@@ -163,6 +163,45 @@ class TestGradients:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 1e-6
 
+    @pytest.mark.parametrize("backend", ["tiled", "pallas"])
+    def test_degenerate_pose_grads_finite(self, backend):
+        # Joint training injects PREDICTED poses before the pose net
+        # converges; a garbage pose must produce zero-ish gradients, never
+        # NaN (observed: cov2d overflow -> det = inf - inf poisoning a whole
+        # training step). Giant translation + near-zero depths + huge
+        # covariances exercise the projection/record clamps.
+        from jax.experimental.pallas import tpu as pltpu
+
+        scene = make_scene(jax.random.PRNGKey(8), n=40)
+        # Keep the gaussians in front of the camera (a culled scene never
+        # reaches the record math) but blow the covariance up to where
+        # cov2d entries exceed sqrt(f32 max): without the projection clamps
+        # det = a*c - b*b = inf - inf = NaN.
+        cov = scene["covariances"] * 1e22
+        extr = scene["extrinsics"]
+
+        def f(means, cov, sh, opa, extr):
+            img = api.render(
+                extr, scene["intrinsics"], scene["near"], scene["far"],
+                SHAPE, scene["background"], means, cov, sh, opa,
+                backend=backend, max_per_tile=128,
+            )
+            return jnp.mean(img**2)
+
+        import contextlib
+
+        ctx = (
+            pltpu.force_tpu_interpret_mode()
+            if backend == "pallas"
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            grads = jax.grad(f, argnums=(0, 1, 2, 3, 4))(
+                scene["means"], cov, scene["sh_coeffs"], scene["opacities"], extr
+            )
+        for name, g in zip(["means", "cov", "sh", "opa", "extr"], grads):
+            assert np.isfinite(np.asarray(g)).all(), name
+
 
 class TestDepthRendering:
     def test_depth_of_single_gaussian(self):
