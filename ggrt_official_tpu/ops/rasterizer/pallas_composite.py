@@ -330,33 +330,73 @@ def _core_bwd(res, gouts):
 _composite_core.defvjp(_core_fwd, _core_bwd)
 
 
+_USE_INV_VJP = True
+
+
+@jax.custom_vjp
+def _gather_rows(comp, safe_ids, inv_pos):
+    """comp[safe_ids] with a gather-based pullback.
+
+    XLA transposes a gather into a scatter-add, which TPU lowers poorly
+    (~10 ms at bench scale). Binning already knows the inverse map —
+    inv_pos[g, slot] = flat position of that dup entry in (tiles·K), or
+    -1 — so the pullback is dcomp[g] = Σ_slot dgath_flat[inv_pos[g, slot]]:
+    a gather plus a dup-axis sum, no scatter anywhere.
+    """
+    return comp[safe_ids]
+
+
+def _gather_rows_fwd(comp, safe_ids, inv_pos):
+    return comp[safe_ids], (inv_pos,)
+
+
+def _gather_rows_bwd(res, dgath):
+    (inv_pos,) = res
+    t, K, C = dgath.shape
+    flat = jnp.concatenate(
+        [dgath.reshape(t * K, C), jnp.zeros((1, C), dgath.dtype)], axis=0
+    )
+    idx = jnp.where(inv_pos >= 0, inv_pos, t * K)
+    dcomp = jnp.sum(flat[idx], axis=1)                # (g, dup, C) -> (g, C)
+    import numpy as np
+
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return dcomp, f0(inv_pos), f0(inv_pos)
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def build_records(pg: ProjectedGaussians, binning: TileBinning):
     """Gather per-tile Gaussian lists into component-major record tensors.
 
-    Pure differentiable jnp: JAX AD transposes the gathers into
-    scatter-adds and chains conic→Cholesky, mean→linear-coefficient
-    gradients automatically.
+    Differentiable jnp: gradients chain conic→Cholesky and
+    mean→linear-coefficient automatically; the list gather's pullback uses
+    binning's inverse map when available (no scatter-add — see
+    _gather_rows), falling back to JAX AD's scatter-add otherwise.
     """
     nty, ntx = binning.num_tiles_y, binning.num_tiles_x
     num_tiles = nty * ntx
     ids = binning.gaussian_ids
-    K = ids.shape[1]
-    K_pad = max(_CH, -(-K // _CH) * _CH)
-    if K_pad != K:
-        ids = jnp.pad(ids, ((0, 0), (0, K_pad - K)), constant_values=-1)
+    K0 = ids.shape[1]
+    K_pad = max(_CH, -(-K0 // _CH) * _CH)
 
-    safe_ids = jnp.maximum(ids, 0)
-    present = (ids >= 0).astype(jnp.float32)
+    safe_ids0 = jnp.maximum(ids, 0)
 
     # One fused (g, 9)-row gather instead of four per-component gathers:
     # measured 7.7 -> 4.0 ms fwd and 19.4 -> 14.3 ms fwd+vjp at the bench
-    # population (tools/diag_records_fused.py, bit-exact) — the VJP becomes
-    # a single scatter-add into the packed component matrix, whose pullback
-    # through concatenate is just slicing.
+    # population (tools/diag_records_fused.py, bit-exact).
     comp = jnp.concatenate(
         [pg.mean2d, pg.conic, pg.color, pg.opacity[:, None]], axis=-1
     )  # (g, 9)
-    gath = comp[safe_ids]                             # (t, K, 9)
+    if _USE_INV_VJP and binning.inv_pos is not None and K_pad == K0:
+        gath = _gather_rows(comp, safe_ids0, binning.inv_pos)  # (t, K0, 9)
+    else:
+        gath = comp[safe_ids0]
+    if K_pad != K0:
+        ids = jnp.pad(ids, ((0, 0), (0, K_pad - K0)), constant_values=-1)
+        gath = jnp.pad(gath, ((0, 0), (0, K_pad - K0), (0, 0)))
+    present = (ids >= 0).astype(jnp.float32)
     mean2d = gath[..., 0:2]
     conic = gath[..., 2:5]
     color = gath[..., 5:8]

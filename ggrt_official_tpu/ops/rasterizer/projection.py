@@ -36,6 +36,7 @@ class ProjectedGaussians(NamedTuple):
     conic: jnp.ndarray    # (g, 3) inverse 2D covariance (a, b, c) for [[a,b],[b,c]]
     depth: jnp.ndarray    # (g,) view-space z
     radius: jnp.ndarray   # (g,) screen-space radius in pixels (float)
+    extent: jnp.ndarray   # (g, 2) tight per-axis AABB half-widths (pixels)
     color: jnp.ndarray    # (g, 3) RGB from SH evaluation
     opacity: jnp.ndarray  # (g,)
     valid: jnp.ndarray    # (g,) bool — in front of camera & invertible cov
@@ -175,6 +176,31 @@ def project_gaussians(
         jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-8)))
     )
 
+    # Tight, LOSSLESS per-axis binning extents. The CUDA kernel bins the
+    # square circumscribing the 3σ circle of the major eigenvalue
+    # (getRect with my_radius = ceil(3·sqrt(λ1))). But a gaussian's
+    # contribution is skipped by the compositor whenever
+    # opacity·exp(-q/2) < 1/255, i.e. outside the level-set ellipse
+    # q ≤ q_max = 2·ln(255·opacity). The exact AABB of that ellipse has
+    # per-axis half-widths sqrt(q_max·Σ2d_diag): every (gaussian, tile)
+    # pair this drops contributes exactly zero through the ALPHA_MIN gate,
+    # so images are unchanged while dup streams, per-tile lists, and
+    # compositor chunk counts all shrink (low-opacity gaussians shrink
+    # the most). Deliberate deviation from the CUDA square (documented,
+    # favorable): no 3σ truncation, so high-opacity gaussians keep the
+    # visible contribution the CUDA kernel clips at its square's edge.
+    q_max = jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(opacities, 1e-12) * (1.0 / ALPHA_MIN)), 0.0
+    )
+    extent = jax.lax.stop_gradient(
+        jnp.ceil(
+            jnp.sqrt(
+                q_max[:, None]
+                * jnp.maximum(jnp.stack([a, c], axis=-1), 0.0)
+            )
+        )
+    )
+
     # SH -> RGB along the (world) view direction from the camera center.
     # Safe normalization: sqrt(sum + eps) keeps the gradient finite when a
     # gaussian sits exactly at the camera center.
@@ -185,12 +211,14 @@ def project_gaussians(
 
     valid = det_valid & (tz > NEAR_CLIP)
     radius = jnp.where(valid, radius, 0.0)
+    extent = jnp.where(valid[:, None], extent, 0.0)
 
     return ProjectedGaussians(
         mean2d=mean2d,
         conic=conic,
         depth=tz,
         radius=radius,
+        extent=extent,
         color=color,
         opacity=opacities,
         valid=valid,

@@ -38,20 +38,26 @@ def composite_pixels(
     conic = pg.conic[order]
     color = pg.color[order]
     opacity = pg.opacity[order]
-    radius = pg.radius[order]
-    valid = pg.valid[order] & (radius > 0.0)
+    extent = pg.extent[order]
+    valid = pg.valid[order] & (extent[:, 0] > 0.0) & (extent[:, 1] > 0.0)
 
     d = pixel_xy[:, None, :] - mean2d[None, :, :]  # (p, g, 2)
     dx, dy = d[..., 0], d[..., 1]
 
     if tile_shape is not None:
+        # Tile-granular culling with the SAME extent AABB the production
+        # binning uses (tiling._tile_aabb): the exact bounding box of the
+        # alpha >= 1/255 contribution ellipse, so culled (gaussian, tile)
+        # pairs contribute exactly zero and the oracle's image equals the
+        # binned backends' bit-for-bit (up to cap overflow).
         th, tw = tile_shape
         ptx = (pixel_xy[:, 0] // tw).astype(jnp.int32)
         pty = (pixel_xy[:, 1] // th).astype(jnp.int32)
-        gx0 = ((mean2d[:, 0] - radius) / tw).astype(jnp.int32)
-        gx1 = jnp.floor((mean2d[:, 0] + radius + tw - 1) / tw).astype(jnp.int32)
-        gy0 = ((mean2d[:, 1] - radius) / th).astype(jnp.int32)
-        gy1 = jnp.floor((mean2d[:, 1] + radius + th - 1) / th).astype(jnp.int32)
+        ex, ey = extent[:, 0], extent[:, 1]
+        gx0 = ((mean2d[:, 0] - ex) / tw).astype(jnp.int32)
+        gx1 = jnp.floor((mean2d[:, 0] + ex + tw - 1) / tw).astype(jnp.int32)
+        gy0 = ((mean2d[:, 1] - ey) / th).astype(jnp.int32)
+        gy1 = jnp.floor((mean2d[:, 1] + ey + th - 1) / th).astype(jnp.int32)
         in_tile = (
             (ptx[:, None] >= gx0[None, :]) & (ptx[:, None] < gx1[None, :])
             & (pty[:, None] >= gy0[None, :]) & (pty[:, None] < gy1[None, :])

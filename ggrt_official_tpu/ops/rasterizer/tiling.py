@@ -63,6 +63,31 @@ class TileBinning(NamedTuple):
     counts: jnp.ndarray        # (num_tiles,) int32
     num_tiles_y: int
     num_tiles_x: int
+    # Inverse of gaussian_ids: for each (gaussian, dup-slot), the flat
+    # position tile*K + rank it landed at, or -1. Lets the record-gather's
+    # VJP run as a gather + dup-axis sum instead of XLA's scatter-add
+    # (pallas_composite._gather_rows). None when not materialized.
+    inv_pos: jnp.ndarray | None = None
+
+
+def _tile_aabb(pg: ProjectedGaussians, ntx: int, nty: int, tile_w: int, tile_h: int):
+    """Per-gaussian tile-index AABB (CUDA getRect semantics: min inclusive,
+    max exclusive) from the tight per-axis extents (projection.py: the exact
+    AABB of the α ≥ 1/255 contribution ellipse ∩ 3σ — lossless vs the CUDA
+    radius square, strictly fewer (gaussian, tile) pairs)."""
+    ex = pg.extent[:, 0]
+    ey = pg.extent[:, 1]
+    visible = pg.valid & (ex > 0.0) & (ey > 0.0)
+    x0 = jnp.clip(((pg.mean2d[:, 0] - ex) / tile_w).astype(jnp.int32), 0, ntx)
+    x1 = jnp.clip(
+        jnp.floor((pg.mean2d[:, 0] + ex + tile_w - 1) / tile_w).astype(jnp.int32), 0, ntx
+    )
+    y0 = jnp.clip(((pg.mean2d[:, 1] - ey) / tile_h).astype(jnp.int32), 0, nty)
+    y1 = jnp.clip(
+        jnp.floor((pg.mean2d[:, 1] + ey + tile_h - 1) / tile_h).astype(jnp.int32), 0, nty
+    )
+    visible = visible & (x1 > x0) & (y1 > y0)
+    return x0, x1, y0, y1, visible
 
 
 def bin_gaussians(
@@ -79,20 +104,9 @@ def bin_gaussians(
     num_tiles = ntx * nty
     g = pg.mean2d.shape[0]
 
-    visible = pg.valid & (pg.radius > 0.0)
-
-    # AABB in tile units (CUDA getRect semantics: min inclusive, max exclusive).
-    x0 = jnp.clip(((pg.mean2d[:, 0] - pg.radius) / tile_w).astype(jnp.int32), 0, ntx)
-    x1 = jnp.clip(
-        jnp.floor((pg.mean2d[:, 0] + pg.radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, ntx
-    )
-    y0 = jnp.clip(((pg.mean2d[:, 1] - pg.radius) / tile_h).astype(jnp.int32), 0, nty)
-    y1 = jnp.clip(
-        jnp.floor((pg.mean2d[:, 1] + pg.radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, nty
-    )
+    x0, x1, y0, y1, visible = _tile_aabb(pg, ntx, nty, tile_w, tile_h)
     nx = x1 - x0
     ny = y1 - y0
-    visible = visible & (nx > 0) & (ny > 0)
 
     # Enumerate up to max_dup tiles per Gaussian, row-major over the AABB.
     slot = jnp.arange(max_dup, dtype=jnp.int32)
@@ -118,14 +132,34 @@ def bin_gaussians(
         # break by id via the stable sort.
         q = _quantize_depth(pg.depth, visible, qbits)
         flat_q = jnp.broadcast_to(q[:, None], (g, max_dup)).reshape(-1)
-        flat_gid = jnp.broadcast_to(
-            jnp.arange(g, dtype=jnp.int32)[:, None], (g, max_dup)
-        ).reshape(-1)
+        # Payload = flat dup index gid·max_dup + slot (ascending ⟺ the old
+        # (gid, slot) order, so the stable sort produces identical lists);
+        # gid is recovered at the K selected positions only, and the dup
+        # index additionally yields inv_pos for the gather-based record VJP.
+        flat_didx = jnp.arange(g * max_dup, dtype=jnp.int32)
         packed = (flat_tile << qbits) | flat_q
-        packed_sorted, gid_sorted = jax.lax.sort((packed, flat_gid), num_keys=1)
+        packed_sorted, didx_sorted = jax.lax.sort((packed, flat_didx), num_keys=1)
         starts = jnp.searchsorted(
             packed_sorted, tile_range << qbits, side="left"
         ).astype(jnp.int32)
+
+        counts = jnp.minimum(starts[1:] - starts[:-1], max_per_tile)
+        k = jnp.arange(max_per_tile, dtype=jnp.int32)
+        positions = starts[:-1, None] + k[None, :]
+        in_seg = k[None, :] < counts[:, None]
+        positions = jnp.clip(positions, 0, didx_sorted.shape[0] - 1)
+        didx_at = didx_sorted[positions]                       # (t, K)
+        ids = jnp.where(in_seg, didx_at // max_dup, -1)
+
+        flatpos = jnp.arange(num_tiles * max_per_tile, dtype=jnp.int32)
+        scatter_idx = jnp.where(in_seg, didx_at, g * max_dup).reshape(-1)
+        inv = jnp.full((g * max_dup + 1,), -1, jnp.int32)
+        inv = inv.at[scatter_idx].set(flatpos, mode="drop")
+        inv_pos = inv[:-1].reshape(g, max_dup)
+        return TileBinning(
+            gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx,
+            inv_pos=inv_pos,
+        )
     else:
         # Huge images: not enough bits for a packed key — exact-rank
         # lexicographic fallback.
@@ -170,15 +204,7 @@ def binning_overflow_stats(
     nty = -(-h // tile_h)
     num_tiles = nty * ntx
 
-    visible = pg.valid & (pg.radius > 0.0)
-    x0 = jnp.clip(((pg.mean2d[:, 0] - pg.radius) / tile_w).astype(jnp.int32), 0, ntx)
-    x1 = jnp.clip(
-        jnp.floor((pg.mean2d[:, 0] + pg.radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, ntx
-    )
-    y0 = jnp.clip(((pg.mean2d[:, 1] - pg.radius) / tile_h).astype(jnp.int32), 0, nty)
-    y1 = jnp.clip(
-        jnp.floor((pg.mean2d[:, 1] + pg.radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, nty
-    )
+    x0, x1, y0, y1, visible = _tile_aabb(pg, ntx, nty, tile_w, tile_h)
     per_gauss = jnp.where(visible, (x1 - x0) * (y1 - y0), 0)
     wanted = jnp.sum(per_gauss)
     dup_dropped = jnp.sum(jnp.maximum(per_gauss - max_dup, 0))
@@ -227,18 +253,9 @@ def bin_gaussians_counting(
     num_tiles = nty * ntx
     g = pg.mean2d.shape[0]
 
-    visible = pg.valid & (pg.radius > 0.0)
-    x0 = jnp.clip(((pg.mean2d[:, 0] - pg.radius) / tile_w).astype(jnp.int32), 0, ntx)
-    x1 = jnp.clip(
-        jnp.floor((pg.mean2d[:, 0] + pg.radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, ntx
-    )
-    y0 = jnp.clip(((pg.mean2d[:, 1] - pg.radius) / tile_h).astype(jnp.int32), 0, nty)
-    y1 = jnp.clip(
-        jnp.floor((pg.mean2d[:, 1] + pg.radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, nty
-    )
+    x0, x1, y0, y1, visible = _tile_aabb(pg, ntx, nty, tile_w, tile_h)
     nx = x1 - x0
     ny = y1 - y0
-    visible = visible & (nx > 0) & (ny > 0)
 
     # Depth order once (N keys) — the same quantized key the sort path
     # packs, so the two backends produce bit-identical lists (argsort is
@@ -295,4 +312,15 @@ def bin_gaussians_counting(
     ids = ids.at[position].set(jnp.where(valid_entry, gid_flat, -1), mode="drop")
     ids = ids[:-1].reshape(num_tiles, max_per_tile)
 
-    return TileBinning(gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx)
+    # Inverse map for the gather-based record VJP (see bin_gaussians).
+    didx = (order[:, None] * max_dup + slot[None, :]).reshape(-1)
+    inv = jnp.full((g * max_dup + 1,), -1, jnp.int32)
+    inv = inv.at[jnp.where(valid_entry, didx, g * max_dup)].set(
+        jnp.where(valid_entry, position, -1), mode="drop"
+    )
+    inv_pos = inv[:-1].reshape(g, max_dup)
+
+    return TileBinning(
+        gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx,
+        inv_pos=inv_pos,
+    )
