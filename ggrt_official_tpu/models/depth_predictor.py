@@ -68,6 +68,9 @@ class DepthPredictorMonocular(nn.Module):
         x = x.reshape(*x.shape[:-1], s, self.num_surfaces, 2)
         pdf = jax.nn.softmax(jnp.swapaxes(x[..., 0], -1, -2), axis=-1)  # (b, v, r, srf, s)
         offset = jax.nn.sigmoid(jnp.swapaxes(x[..., 1], -1, -2))
+        # Observability tap (encoder visualizer): no-op unless the caller
+        # passes mutable=["intermediates"] to .apply().
+        self.sow("intermediates", "depth_pdf", pdf)
 
         if deterministic:
             index, pdf_i = gather_discrete_topk(pdf, gaussians_per_pixel)

@@ -61,6 +61,9 @@ class Attention(nn.Module):
         q, k, v = map(split_heads, (q, k, v))
         dots = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (self.dim_head**-0.5)
         attn = nn.softmax(dots, axis=-1)
+        # Observability tap (encoder visualizer): no-op unless the caller
+        # passes mutable=["intermediates"] to .apply().
+        self.sow("intermediates", "attn", attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)

@@ -37,9 +37,13 @@ def _tile_pixel_grid(nty: int, ntx: int, tile_h: int, tile_w: int, dtype):
     return _tile_pixel_grid_from_ids(ids, ntx, tile_h, tile_w, dtype)
 
 
-def gather_tile_records(pg: ProjectedGaussians, gaussian_ids: jnp.ndarray):
+def gather_tile_records(
+    pg: ProjectedGaussians, gaussian_ids: jnp.ndarray, inv_pos: jnp.ndarray | None = None
+):
     """Gather per-tile Gaussian records (t, K, ...). Gradients flow back
-    through the gathers to the projected Gaussians (scatter-add VJP)."""
+    through the gathers to the projected Gaussians — via the binning's
+    inverse map when given (gather-based pullback, no scatter-add; see
+    pallas_composite._gather_rows), else via JAX AD's scatter-add."""
     dtype = pg.mean2d.dtype
     safe_ids = jnp.maximum(gaussian_ids, 0)
     present = (gaussian_ids >= 0).astype(dtype)
@@ -48,7 +52,12 @@ def gather_tile_records(pg: ProjectedGaussians, gaussian_ids: jnp.ndarray):
     comp = jnp.concatenate(
         [pg.mean2d, pg.conic, pg.color, pg.opacity[:, None]], axis=-1
     )
-    gath = comp[safe_ids]
+    if inv_pos is not None:
+        from .pallas_composite import _gather_rows
+
+        gath = _gather_rows(comp, safe_ids, inv_pos)
+    else:
+        gath = comp[safe_ids]
     return (
         gath[..., 0:2],
         gath[..., 2:5],
@@ -138,7 +147,9 @@ def composite_tiles(
     """
     nty, ntx = binning.num_tiles_y, binning.num_tiles_x
     dtype = pg.mean2d.dtype
-    mean2d, conic, color, opacity = gather_tile_records(pg, binning.gaussian_ids)
+    mean2d, conic, color, opacity = gather_tile_records(
+        pg, binning.gaussian_ids, binning.inv_pos
+    )
     pixels = _tile_pixel_grid(nty, ntx, tile_h, tile_w, dtype)
     tile_colors = composite_gathered(
         mean2d, conic, color, opacity, pixels, background, tile_chunk

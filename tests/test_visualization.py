@@ -64,3 +64,40 @@ class TestEncoderDumps:
         )
         out = ev.visualize_gaussians(g, (h, w), v, spp)
         assert out.shape == (v, 2, h, w, 3)
+
+
+class TestEncoderDumpDriver:
+    def test_dump_encoder_visualizations(self, tmp_path):
+        """The flax-intermediates dump driver (reference
+        encoder_visualizer_epipolar.py:36-128 equivalent) emits attention
+        entropy + depth-pdf maps + the rendered rgb, and writes PNGs."""
+        import jax
+
+        from ggrt_official_tpu.data.datasets import (
+            SyntheticPlanesDataset, SyntheticSceneSpec, collate_batch,
+        )
+        from ggrt_official_tpu.training.trainer import GGRtTrainer
+        from tests.test_models import tiny_cfg
+
+        cfg = tiny_cfg()
+        ds = SyntheticPlanesDataset(
+            SyntheticSceneSpec(n_views=8, image_size=(32, 64)), num_source_views=3
+        )
+        trainer = GGRtTrainer(cfg)
+        batch_raw = collate_batch(ds[0])
+        trainer.init_full(batch_raw)
+        batch = trainer.prepare_batch(batch_raw)
+
+        dumps = ev.dump_encoder_visualizations(
+            trainer.model, trainer.state.params, batch, step=0,
+            image_shape=(32, 64), out_dir=str(tmp_path),
+        )
+        assert any(k.startswith("attention_") for k in dumps), dumps.keys()
+        assert any(k.startswith("depth_pdf_") for k in dumps), dumps.keys()
+        assert "rendered_rgb" in dumps
+        for v in dumps.values():
+            assert np.isfinite(np.asarray(v)).all()
+        import os
+
+        pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+        assert pngs, "expected at least one PNG dump"
