@@ -159,6 +159,13 @@ class TrainCfg:
     # (ROADMAP.md #1); trainers trace under this precision context.
     matmul_precision: str = "float32"
 
+    # observability: when set, capture a jax.profiler trace of steps
+    # [profile_step, profile_step+3) into this directory (xprof/tensorboard
+    # readable), the TPU equivalent of the reference's Benchmarker+nsight
+    # flow (SURVEY.md §5.1).
+    profile_dir: str = ""
+    profile_step: int = 10
+
     # distribution
     data_parallel: int = 1    # device-mesh data axis (target views)
     tile_parallel: int = 1    # device-mesh tile axis (screen tiles)

@@ -16,6 +16,7 @@ import os
 import time
 from typing import Callable, Iterable, Optional
 
+import jax
 import numpy as np
 
 from ..config import GGRtConfig
@@ -81,14 +82,26 @@ def train_loop(
 
     step = start_step
     batch = first
+    profiling = False
     try:
         while step < n_iters:
+            if cfg.train.profile_dir and step == cfg.train.profile_step:
+                jax.profiler.start_trace(cfg.train.profile_dir)
+                profiling = True
             machine = (
                 machine_schedule(step)
                 if machine_schedule
                 else getattr(cfg.train, "machine", "joint")
             )
             aux = trainer.train_iteration(batch, machine=machine)
+            if profiling and step >= cfg.train.profile_step + 2:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                    aux,
+                )
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.log_info(f"profiler trace written to {cfg.train.profile_dir}")
             step += 1
 
             if step % cfg.train.n_tensorboard == 0:

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--synthetic_scenes", type=int, default=1,
                     help="number of procedural scenes (different seeds) to mix")
     ap.add_argument("--tiny", action="store_true", help="tiny model config (smoke test)")
+    ap.add_argument("--machine", default=None,
+                    help="state machine: joint | nerf_only | pose_only "
+                         "(joint's exp-decay crushes the gaussian loss early "
+                         "— stage nerf_only → pose_only for short runs)")
     ap.add_argument("--override", nargs="*", default=[], help="cfg overrides key=value")
     args = ap.parse_args()
 
@@ -60,6 +64,8 @@ def main():
         cfg.train.num_source_views = args.num_source_views
     if args.rootdir:
         cfg.train.rootdir = args.rootdir
+    if args.machine:
+        cfg.train.machine = args.machine
     apply_overrides(cfg, dict(kv.split("=", 1) for kv in args.override))
 
     if args.synthetic:
