@@ -40,10 +40,28 @@ class DecoderSplatting:
         flat = lambda t: t.reshape(b * v, *t.shape[2:])
         rep = lambda t: jnp.repeat(t, v, axis=0)  # b g ... -> (b v) g ...
 
+        # Auto-raise the per-tile capacity on SMALL images (static shapes):
+        # with few tiles the configured production cap can sit far below
+        # the average per-tile demand gaussians/tiles, and a saturated cap
+        # silently starves most pixels of coverage AND gradient (measured:
+        # a 32x64 synthetic run stalled at PSNR ~8 with cap 128 vs demand
+        # ~2k; raising the cap fixed it — see ROADMAP.md). Only images
+        # with < 32 tiles are affected, where the raised cap is cheap; at
+        # production resolutions the configured nearest-K tradeoff stands.
+        g = gaussians.means.shape[1]
+        h, w = image_shape
+        num_tiles = max(1, -(-h // raster.tiling.TILE_H) * -(-w // raster.tiling.TILE_W))
+        max_per_tile = self.cfg.max_per_tile
+        if num_tiles < 32:
+            demand = -(-4 * g // num_tiles)
+            max_per_tile = max(
+                max_per_tile, min(-(-demand // 128) * 128, 16384)
+            )
+
         kw = dict(
             backend=self.cfg.backend,
             max_dup=self.cfg.max_dup,
-            max_per_tile=self.cfg.max_per_tile,
+            max_per_tile=max_per_tile,
         )
         color = raster.render(
             flat(extrinsics), flat(intrinsics), flat(near), flat(far),

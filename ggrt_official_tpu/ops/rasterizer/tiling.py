@@ -90,6 +90,31 @@ def _tile_aabb(pg: ProjectedGaussians, ntx: int, nty: int, tile_w: int, tile_h: 
     return x0, x1, y0, y1, visible
 
 
+def _dup_window(pg, x0, x1, y0, y1, tile_w: int, tile_h: int, max_dup: int):
+    """Shrink each gaussian's tile AABB to at most max_dup cells, CENTERED
+    on the tile containing its mean.
+
+    The CUDA kernel has no dup cap (dynamic lists); our static cap must
+    drop something when the box exceeds it. Round-1 dropped the row-major
+    tail (the box's bottom rows) — measured 25.3 dB vs uncapped at
+    max_dup=4. Centering the surviving window on the mean keeps the
+    strongest contributors and drops only the box perimeter farthest from
+    the gaussian, where alpha is weakest. Returns (x0', y0', nx', ny')
+    with nx'·ny' ≤ max_dup."""
+    nx = x1 - x0
+    ny = y1 - y0
+    # Keep the x-extent first (tiles are 16x wider than tall, so nx is
+    # nearly always 1 and the budget goes to rows).
+    nxw = jnp.minimum(nx, max_dup)
+    nyw = jnp.minimum(ny, max_dup // jnp.maximum(nxw, 1))
+    nyw = jnp.maximum(nyw, jnp.minimum(ny, 1))
+    tx = jnp.clip((pg.mean2d[:, 0] / tile_w).astype(jnp.int32), x0, x1 - 1)
+    ty = jnp.clip((pg.mean2d[:, 1] / tile_h).astype(jnp.int32), y0, y1 - 1)
+    x0w = jnp.clip(tx - (nxw - 1) // 2, x0, x1 - nxw)
+    y0w = jnp.clip(ty - (nyw - 1) // 2, y0, y1 - nyw)
+    return x0w, y0w, nxw, nyw
+
+
 def bin_gaussians(
     pg: ProjectedGaussians,
     image_shape: tuple[int, int],
@@ -105,16 +130,15 @@ def bin_gaussians(
     g = pg.mean2d.shape[0]
 
     x0, x1, y0, y1, visible = _tile_aabb(pg, ntx, nty, tile_w, tile_h)
-    nx = x1 - x0
-    ny = y1 - y0
+    x0w, y0w, nxw, nyw = _dup_window(pg, x0, x1, y0, y1, tile_w, tile_h, max_dup)
 
-    # Enumerate up to max_dup tiles per Gaussian, row-major over the AABB.
+    # Enumerate the (mean-centered) window row-major, ≤ max_dup cells.
     slot = jnp.arange(max_dup, dtype=jnp.int32)
-    nx_safe = jnp.maximum(nx, 1)
+    nx_safe = jnp.maximum(nxw, 1)
     dy, dx = _enum_tiles(slot[None, :], nx_safe[:, None])
-    ty = y0[:, None] + dy
-    tx = x0[:, None] + dx
-    in_box = slot[None, :] < (nx * ny)[:, None]
+    ty = y0w[:, None] + dy
+    tx = x0w[:, None] + dx
+    in_box = slot[None, :] < (nxw * nyw)[:, None]
     tile_id = ty * ntx + tx  # (g, max_dup)
     pair_valid = in_box & visible[:, None]
 
@@ -205,17 +229,19 @@ def binning_overflow_stats(
     num_tiles = nty * ntx
 
     x0, x1, y0, y1, visible = _tile_aabb(pg, ntx, nty, tile_w, tile_h)
+    x0w, y0w, nxw, nyw = _dup_window(pg, x0, x1, y0, y1, tile_w, tile_h, max_dup)
     per_gauss = jnp.where(visible, (x1 - x0) * (y1 - y0), 0)
+    kept_gauss = jnp.where(visible, nxw * nyw, 0)
     wanted = jnp.sum(per_gauss)
-    dup_dropped = jnp.sum(jnp.maximum(per_gauss - max_dup, 0))
+    dup_dropped = jnp.sum(per_gauss - kept_gauss)
 
     # Per-tile demand AFTER the dup cap (kept entries) vs capacity K,
     # histogrammed directly with a scatter-add.
     slot = jnp.arange(max_dup, dtype=jnp.int32)
-    nx_safe = jnp.maximum(x1 - x0, 1)
-    ty = y0[:, None] + slot[None, :] // nx_safe[:, None]
-    tx = x0[:, None] + slot[None, :] % nx_safe[:, None]
-    in_box = (slot[None, :] < per_gauss[:, None]) & visible[:, None]
+    nx_safe = jnp.maximum(nxw, 1)
+    ty = y0w[:, None] + slot[None, :] // nx_safe[:, None]
+    tx = x0w[:, None] + slot[None, :] % nx_safe[:, None]
+    in_box = (slot[None, :] < kept_gauss[:, None]) & visible[:, None]
     tile_id = jnp.where(in_box, ty * ntx + tx, num_tiles).reshape(-1)
     per_tile = jnp.zeros(num_tiles + 1, jnp.int32).at[tile_id].add(1)[:num_tiles]
     tile_dropped = jnp.sum(jnp.maximum(per_tile - max_per_tile, 0))
@@ -254,8 +280,7 @@ def bin_gaussians_counting(
     g = pg.mean2d.shape[0]
 
     x0, x1, y0, y1, visible = _tile_aabb(pg, ntx, nty, tile_w, tile_h)
-    nx = x1 - x0
-    ny = y1 - y0
+    x0w, y0w, nxw, nyw = _dup_window(pg, x0, x1, y0, y1, tile_w, tile_h, max_dup)
 
     # Depth order once (N keys) — the same quantized key the sort path
     # packs, so the two backends produce bit-identical lists (argsort is
@@ -272,7 +297,7 @@ def bin_gaussians_counting(
     # front-to-back, so a *stable* counting sort by tile preserves depth
     # order within each tile.
     slot = jnp.arange(max_dup, dtype=jnp.int32)
-    x0o, y0o, nxo, nyo = x0[order], y0[order], nx[order], ny[order]
+    x0o, y0o, nxo, nyo = x0w[order], y0w[order], nxw[order], nyw[order]
     viso = visible[order]
     nx_safe = jnp.maximum(nxo, 1)
     dy_, dx_ = _enum_tiles(slot[None, :], nx_safe[:, None])
