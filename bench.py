@@ -76,7 +76,19 @@ def measure(profile_dir=None):
     g = means.shape[1]
 
     backend = "pallas"
-    kw = dict(max_per_tile=1024, max_dup=8, tile_chunk=16)
+    import os as _os
+
+    # max_dup stays 8: although dup=6 is visually lossless with the
+    # mean-centered dup window (49.6 dB, BENCH_NOTES.md), it measured
+    # SLOWER on TPU (66.7 ms vs 59.4 ms, 2 runs each) — the 5.2M- and
+    # 6.9M-key sorts pad to the same 8.4M power-of-two internally, while
+    # dup=8's div/mod compiles to shifts and dup=6's does not. Env
+    # override kept for A/B sweeps.
+    kw = dict(
+        max_per_tile=1024,
+        max_dup=int(_os.environ.get("GGRT_BENCH_MAX_DUP", "8")),
+        tile_chunk=16,
+    )
 
     # --- correctness gate (VERDICT weak#6): pallas vs XLA compositor on the
     # real device, small scene, before timing anything.

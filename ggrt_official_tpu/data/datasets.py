@@ -202,6 +202,14 @@ class SyntheticSceneSpec:
     image_size: tuple = (64, 96)
     n_planes: int = 4
     seed: int = 0
+    # Binary (0/1) plane alphas make the scene fully opaque at every hit, so
+    # a single depth map explains each pixel exactly and GT poses are a true
+    # minimizer of the photometric warp loss (the default 0.05/0.95 soft
+    # alphas leak 5% of every background plane through, which biases the
+    # expected depth and puts the photometric optimum AWAY from GT poses —
+    # measured by tools/diag_photometric_pose.py). Use for pose-learning
+    # tests/runs; keep soft alphas for rasterizer compositing tests.
+    binary_alpha: bool = False
 
 
 class SyntheticPlanesDataset:
@@ -228,7 +236,8 @@ class SyntheticPlanesDataset:
         for d in depths:
             tex = np.stack([smooth_noise((128, 192)) for _ in range(3)], -1)
             alpha = (smooth_noise((128, 192)) > 0.5).astype(np.float32)
-            alpha = np.clip(alpha * 0.9 + 0.05, 0, 1)
+            if not spec.binary_alpha:
+                alpha = np.clip(alpha * 0.9 + 0.05, 0, 1)
             if d == depths[-1]:
                 alpha = np.ones_like(alpha)  # opaque background plane
             self.planes.append((d, tex, alpha))
@@ -254,6 +263,26 @@ class SyntheticPlanesDataset:
         self.i_train = i_train
         self.depth_range = (depths[0] * 0.8, depths[-1] * 1.3)
 
+    @staticmethod
+    def _bilinear(tex, u, v):
+        """Bilinear texture lookup (edge-clamped). Matching the photometric
+        warp's bilinear grid_sample keeps cross-view photometric residuals
+        at the interpolation-noise floor instead of nearest-neighbor
+        aliasing (~0.12 L1 at GT poses on this texture scale)."""
+        h, w = tex.shape[:2]
+        u0 = np.clip(np.floor(u).astype(int), 0, w - 1)
+        v0 = np.clip(np.floor(v).astype(int), 0, h - 1)
+        u1 = np.minimum(u0 + 1, w - 1)
+        v1 = np.minimum(v0 + 1, h - 1)
+        fu = np.clip(u - u0, 0.0, 1.0)[..., None] if tex.ndim == 3 else np.clip(u - u0, 0.0, 1.0)
+        fv = np.clip(v - v0, 0.0, 1.0)[..., None] if tex.ndim == 3 else np.clip(v - v0, 0.0, 1.0)
+        return (
+            tex[v0, u0] * (1 - fu) * (1 - fv)
+            + tex[v0, u1] * fu * (1 - fv)
+            + tex[v1, u0] * (1 - fu) * fv
+            + tex[v1, u1] * fu * fv
+        )
+
     def _render(self, c2w):
         h, w = self.spec.image_size
         xs, ys = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
@@ -273,14 +302,46 @@ class SyntheticPlanesDataset:
             # Plane spans [-2, 2] x [-1.5, 1.5]; sample texture.
             u = (px + 2.0) / 4.0 * (tex.shape[1] - 1)
             v = (py + 1.5) / 3.0 * (tex.shape[0] - 1)
-            ui = np.clip(u.astype(int), 0, tex.shape[1] - 1)
-            vi = np.clip(v.astype(int), 0, tex.shape[0] - 1)
             inside = (u >= 0) & (u < tex.shape[1]) & (v >= 0) & (v < tex.shape[0])
-            a = alpha[vi, ui] * inside
-            c = tex[vi, ui]
+            a = self._bilinear(alpha, u, v) * inside
+            if self.spec.binary_alpha:
+                a = (a > 0.5).astype(np.float32)  # keep hits fully opaque
+            c = self._bilinear(tex, u, v)
             out += (T * a)[..., None] * c
             T = T * (1 - a)
         return out
+
+    def depth_map(self, view_idx: int) -> np.ndarray:
+        """Expected camera-space depth (h, w) for an ABSOLUTE view index —
+        alpha-weighted first-surface depth, Σ T·a·z + T_fin·z_last. With the
+        near-binary plane alphas this is ≈ the first-hit depth; used by the
+        photometric-loss diagnostics and depth-supervision tests."""
+        c2w = self.poses[view_idx]
+        h, w = self.spec.image_size
+        xs, ys = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+        Kinv = np.linalg.inv(self.K)
+        dirs_cam = np.einsum(
+            "ij,jhw->ihw", Kinv, np.stack([xs, ys, np.ones_like(xs)])
+        )
+        R, t = c2w[:3, :3], c2w[:3, 3]
+        dirs = np.einsum("ij,jhw->ihw", R, dirs_cam)
+        depth = np.zeros((h, w), np.float32)
+        T = np.ones((h, w), np.float32)
+        s = None
+        for d, tex, alpha in self.planes:
+            s = (d - t[2]) / dirs[2]
+            px = t[0] + s * dirs[0]
+            py = t[1] + s * dirs[1]
+            u = (px + 2.0) / 4.0 * (tex.shape[1] - 1)
+            v = (py + 1.5) / 3.0 * (tex.shape[0] - 1)
+            inside = (u >= 0) & (u < tex.shape[1]) & (v >= 0) & (v < tex.shape[0])
+            a = self._bilinear(alpha, u, v) * inside
+            if self.spec.binary_alpha:
+                a = (a > 0.5).astype(np.float32)
+            depth += T * a * s.astype(np.float32)
+            T = T * (1 - a)
+        depth += T * s.astype(np.float32)  # background plane fills the rest
+        return depth
 
     def __len__(self):
         return len(self.i_render)
