@@ -88,6 +88,7 @@ def measure(profile_dir=None):
         max_per_tile=1024,
         max_dup=int(_os.environ.get("GGRT_BENCH_MAX_DUP", "8")),
         tile_chunk=16,
+        binning_mode=_os.environ.get("GGRT_BENCH_BINNING", "sort"),
     )
 
     # --- correctness gate (VERDICT weak#6): pallas vs XLA compositor on the

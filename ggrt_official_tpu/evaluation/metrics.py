@@ -64,6 +64,16 @@ def lpips(pred: np.ndarray, gt: np.ndarray):
 
 
 def evaluate_pose_errors(pred_c2w: jnp.ndarray, gt_c2w: jnp.ndarray) -> dict:
-    """ATE-align predictions to GT and report R/t errors (deg / units)."""
+    """ATE-align predictions to GT and report R/t errors (deg / units).
+
+    Also reports *_unaligned variants (no sim3 fit) — the reference protocol
+    (eval_ggrt.py:277-282) only reports aligned errors, but the Umeyama fit
+    on an untrained/degenerate trajectory (near-identical camera centers)
+    returns an arbitrary rotation that inflates R_error to ~90-150° even
+    when every predicted pose is exactly identity; the unaligned numbers
+    separate "predictions are garbage" from "alignment is degenerate"."""
     aligned = align_ate_c2b_use_a2b(pred_c2w, gt_c2w)
-    return evaluate_camera_alignment(aligned, gt_c2w)
+    out = evaluate_camera_alignment(aligned, gt_c2w)
+    raw = evaluate_camera_alignment(pred_c2w, gt_c2w)
+    out.update({f"{k}_unaligned": v for k, v in raw.items()})
+    return out

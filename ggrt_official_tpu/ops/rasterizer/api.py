@@ -43,7 +43,15 @@ def _render_one(
         extrinsics, intrinsics, near, far, image_shape,
     )
     bin_fn = tiling.bin_gaussians_counting if binning_mode == "counting" else tiling.bin_gaussians
-    binning = bin_fn(pg, image_shape, max_dup=max_dup, max_per_tile=max_per_tile)
+    # Binning is a discrete choice (which Gaussians land on which tile, in
+    # what order) — exactly like the CUDA kernel's sort, it has no useful
+    # derivative. stop_gradient makes that explicit to AD, so the whole
+    # sort/partition subtree is partial-eval'd into the primal pass and
+    # linearization never records residuals for it.
+    binning = bin_fn(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, pg),
+        image_shape, max_dup=max_dup, max_per_tile=max_per_tile,
+    )
     if backend == "tiled":
         return composite.composite_tiles(
             pg, binning, background, image_shape, tile_chunk=tile_chunk
