@@ -136,6 +136,15 @@ class TrainCfg:
     lrate_decay_factor: float = 0.5
     use_pred_pose: bool = True
     use_depth_loss: bool = True
+    # pose_only extra (off by default, not in the reference recipe): distill
+    # the frozen gaussian model's rendered depth into the IPO-Net inverse
+    # depths (sup_depth_loss on all iterates, rendered depth as pseudo-GT).
+    # The reference only ever trains IPO-Net jointly from step 0, where the
+    # photometric loss shapes depth and pose together; when the pose stage
+    # starts AFTER a nerf_only stage (our staged recipe), IPO-Net's untrained
+    # depth makes the photometric pose gradients noise — the good rendered
+    # geometry is sitting right there, so use it.
+    pose_depth_distill: float = 0.0
     # State-machine schedule (train_ggrt_stable.py:83 runs 'joint' live; the
     # commented staged schedule at :78-82 is pose_only -> nerf_only -> joint).
     machine: str = "joint"

@@ -28,7 +28,9 @@ import numpy as np
 from ..config import GGRtConfig
 from ..data.shims import get_data_shim
 from ..geometry.se3 import relative_to_source_c2w
-from ..losses.criterion import img2mse, masked_l2_image_loss, mse2psnr, self_sup_depth_loss
+from ..losses.criterion import (
+    img2mse, masked_l2_image_loss, mse2psnr, self_sup_depth_loss, sup_depth_loss,
+)
 from ..models.ggrt import GGRtModel, compose_joint_loss
 from . import state as state_lib
 from .state import TrainState
@@ -89,12 +91,24 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
 
         mid = jnp.asarray(machine_id, jnp.int32)
         sfm_loss = sfm["loss"]
+        pose_loss = sfm_loss
+        if cfg.train.pose_depth_distill > 0.0 and ret["depth"] is not None:
+            # Distill the frozen gaussian model's rendered depth into the
+            # IPO-Net iterates (see config.pose_depth_distill). The render
+            # is detached — in pose_only the gaussian branch is grad-masked
+            # anyway; this term only shapes IPO-Net's depth head so the
+            # photometric warp operates on sane geometry.
+            rend = jax.lax.stop_gradient(ret["depth"][0, 0])   # (h, w)
+            distill = sup_depth_loss(
+                inv_depths, rend[None, None], min_d, max_d
+            )
+            pose_loss = sfm_loss + cfg.train.pose_depth_distill * distill
         loss_all = jnp.where(
             mid == state_lib.STATE_JOINT,
             compose_joint_loss(sfm_loss, coarse_loss, step, cfg.train.joint_coefficient),
             jnp.where(
                 mid == state_lib.STATE_POSE_ONLY,
-                sfm_loss,
+                pose_loss,
                 coarse_loss + jax.lax.stop_gradient(loss_depth) * 0.04,
             ),
         )
@@ -104,6 +118,8 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
             "sfm_loss": sfm_loss,
             "psnr": mse2psnr(img2mse(ret["rgb"], gt["rgb"])),
         }
+        if cfg.train.pose_depth_distill > 0.0 and ret["depth"] is not None:
+            aux["pose_distill_loss"] = distill
         return loss_all, aux
 
     return loss_fn
@@ -217,6 +233,16 @@ class GGRtTrainer:
                 )
 
             sfm_loss = sfm["loss"]
+            pose_loss = sfm_loss
+            distill = None
+            if cfg.train.pose_depth_distill > 0.0 and ret["depth"] is not None:
+                # Distill the (frozen-in-pose_only) gaussian model's rendered
+                # depth into the IPO-Net iterates (config.pose_depth_distill):
+                # when the pose stage starts after nerf_only, IPO-Net's
+                # untrained depth makes photometric pose gradients noise.
+                rend = jax.lax.stop_gradient(ret["depth"][0, 0])   # (h, w)
+                distill = sup_depth_loss(inv_depths, rend[None, None], min_d, max_d)
+                pose_loss = sfm_loss + cfg.train.pose_depth_distill * distill
             loss_all = jnp.where(
                 machine_id == state_lib.STATE_JOINT,
                 compose_joint_loss(
@@ -224,7 +250,7 @@ class GGRtTrainer:
                 ),
                 jnp.where(
                     machine_id == state_lib.STATE_POSE_ONLY,
-                    sfm_loss,
+                    pose_loss,
                     coarse_loss + jax.lax.stop_gradient(loss_depth) * 0.04,
                 ),
             )
@@ -236,6 +262,8 @@ class GGRtTrainer:
                 "psnr": mse2psnr(img2mse(ret["rgb"], gt["rgb"])),
                 "rel_poses": rel_poses,
             }
+            if distill is not None:
+                aux["pose_distill_loss"] = distill
             return loss_all, aux
 
         grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
