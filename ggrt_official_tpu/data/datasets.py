@@ -210,6 +210,16 @@ class SyntheticSceneSpec:
     # measured by tools/diag_photometric_pose.py). Use for pose-learning
     # tests/runs; keep soft alphas for rasterizer compositing tests.
     binary_alpha: bool = False
+    # Camera rotation controls. The default arc is pure translation
+    # (identity rotations), which makes rotation-error metrics trivially
+    # zero for any near-identity pose prediction. look_at_z orients every
+    # camera toward (0, 0, look_at_z); rot_wobble_deg adds a smooth
+    # deterministic yaw/pitch wobble on top so relative rotations between
+    # nearby views are several degrees — a pose-learning eval is only
+    # meaningful when the identity-prediction baseline error is nonzero.
+    look_at_z: float | None = None
+    rot_wobble_deg: float = 0.0
+    arc_scale: float = 1.0
 
 
 class SyntheticPlanesDataset:
@@ -242,13 +252,30 @@ class SyntheticPlanesDataset:
                 alpha = np.ones_like(alpha)  # opaque background plane
             self.planes.append((d, tex, alpha))
 
-        # Cameras: arc along x, looking +z.
+        # Cameras: arc along x, looking +z (optionally rotated, see spec).
         self.poses = []
         for i in range(spec.n_views):
-            t = (i / max(spec.n_views - 1, 1) - 0.5) * 1.0
+            t = (i / max(spec.n_views - 1, 1) - 0.5) * spec.arc_scale
             c2w = np.eye(4)
             c2w[0, 3] = t
             c2w[1, 3] = 0.1 * np.sin(3 * t)
+            if spec.look_at_z is not None:
+                c = c2w[:3, 3]
+                f = np.array([0.0, 0.0, spec.look_at_z]) - c
+                f = f / np.linalg.norm(f)
+                r = np.cross([0.0, 1.0, 0.0], f)
+                r = r / np.linalg.norm(r)
+                u = np.cross(f, r)
+                c2w[:3, :3] = np.stack([r, u, f], axis=1)
+            if spec.rot_wobble_deg:
+                a = np.deg2rad(spec.rot_wobble_deg)
+                yaw = a * np.sin(2.3 * i + 0.7)
+                pitch = 0.6 * a * np.cos(1.7 * i + 0.3)
+                cy, sy = np.cos(yaw), np.sin(yaw)
+                cp, sp = np.cos(pitch), np.sin(pitch)
+                ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+                rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+                c2w[:3, :3] = c2w[:3, :3] @ (ry @ rx)
             self.poses.append(c2w)
         self.poses = np.stack(self.poses).astype(np.float32)
 
