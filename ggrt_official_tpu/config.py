@@ -145,6 +145,11 @@ class TrainCfg:
     # depth makes the photometric pose gradients noise — the good rendered
     # geometry is sitting right there, so use it.
     pose_depth_distill: float = 0.0
+    # Exclude out-of-frame warps from the photometric sfm loss (see
+    # losses/photometric.py — OFF matches the reference's zeros-padding
+    # semantics; ON removes the black-pixel bias that let round-2 pose
+    # translations drift unbounded on synthetic scenes).
+    sfm_valid_mask: bool = False
     # State-machine schedule (train_ggrt_stable.py:83 runs 'joint' live; the
     # commented staged schedule at :78-82 is pose_only -> nerf_only -> joint).
     machine: str = "joint"

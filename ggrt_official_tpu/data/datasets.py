@@ -220,6 +220,49 @@ class SyntheticSceneSpec:
     look_at_z: float | None = None
     rot_wobble_deg: float = 0.0
     arc_scale: float = 1.0
+    # Texture spectrum. The default single-octave (blur-9 noise) texture has
+    # ONE correlation length (~5 px at image res), so the photometric-loss
+    # pose basin is only ~±20% of the inter-view offset (measured by
+    # tools/diag_pose_1d.py: flat plateau from identity until 0.75·GT) and
+    # no image pyramid can widen it — downsampling single-scale noise does
+    # not create coarser structure. texture_octaves > 1 sums noise at
+    # doubling blur radii (equal per-octave variance): coarse octaves give
+    # the loss a wide basin, fine octaves keep the minimum sharp. Required
+    # for pose-learning runs; default 1 keeps existing tests byte-stable.
+    texture_octaves: int = 1
+    # Camera focal length as a multiple of image width (1.2 ≈ 45° FOV).
+    # Narrow FOV makes yaw/pitch rotations nearly indistinguishable from
+    # translations in the photometric loss (the classic R-t ambiguity);
+    # pose-learning runs use ~0.7 (≈ 71° FOV) so the periphery
+    # disambiguates. Wider plane depth ranges add parallax for the same
+    # reason.
+    focal_factor: float = 1.2
+    plane_depths: tuple = (2.0, 6.0)
+    # Plane extents. "legacy": all planes span [-2,2]x[-1.5,1.5] — the far
+    # planes do NOT cover the frustum (at depth 6 the half-FOV needs 2.5),
+    # so off-center views see black borders where rays miss every plane, a
+    # black-bias the photometric loss exploits. "cover": extent grows with
+    # depth (+ margin for the camera arc) so every ray hits the background.
+    plane_span: str = "legacy"
+
+
+def flagship_scene_spec(seed: int = 0, image_size=(64, 96), n_views: int = 12):
+    """The round-3 flagship pose-learning scene ("scene v3").
+
+    Every field is diagnosis-driven (tools/diag_pose_landscape.py and the
+    round-3 probes): multi-octave texture gives the photometric loss a wide
+    basin with a sharp minimum; wide FOV + deep plane range breaks the
+    rotation/translation ambiguity; plane_span="cover" removes black
+    borders; binary alphas make GT poses a true minimizer. Direct Adam on
+    raw pose vecs from identity converges R 5.4° -> 2.2° here (it diverges
+    on the round-2 scene).
+    """
+    return SyntheticSceneSpec(
+        n_views=n_views, image_size=image_size, seed=seed, binary_alpha=True,
+        look_at_z=4.0, rot_wobble_deg=6.0, arc_scale=1.4,
+        texture_octaves=4, focal_factor=0.7, plane_depths=(1.5, 8.0),
+        plane_span="cover",
+    )
 
 
 class SyntheticPlanesDataset:
@@ -241,10 +284,31 @@ class SyntheticPlanesDataset:
             x = rng.rand(*shape).astype(np.float32)
             return cv2.GaussianBlur(x, (blur, blur), 0)
 
-        depths = np.linspace(2.0, 6.0, spec.n_planes)
+        def octave_noise(shape):
+            """Equal-variance sum of noise octaves at explicit, tripling
+            blur sigmas (0.8 · 3^o), rescaled to [0, 1]. Explicit sigma
+            matters: ksize-derived sigma saturates (ksize 55 -> sigma ~9)
+            and the coarse octaves never materialize — measured by the
+            /tmp sigma probes behind tools/diag_pose_*: a sigma-8 texture
+            gives the photometric pose loss a globally monotone
+            identity->GT slope while ksize-9 noise plateaus beyond 20% of
+            the offset. See SyntheticSceneSpec.texture_octaves."""
+            if spec.texture_octaves <= 1:
+                return smooth_noise(shape)
+            acc = np.zeros(shape, np.float32)
+            for o in range(spec.texture_octaves):
+                x = rng.rand(*shape).astype(np.float32)
+                layer = cv2.GaussianBlur(x, (0, 0), 0.8 * 3.0**o)
+                acc += (layer - layer.mean()) / max(layer.std(), 1e-6)
+            acc /= spec.texture_octaves**0.5
+            return np.clip(0.5 + 0.25 * acc, 0.0, 1.0)
+
+        import cv2
+
+        depths = np.linspace(spec.plane_depths[0], spec.plane_depths[1], spec.n_planes)
         self.planes = []
         for d in depths:
-            tex = np.stack([smooth_noise((128, 192)) for _ in range(3)], -1)
+            tex = np.stack([octave_noise((128, 192)) for _ in range(3)], -1)
             alpha = (smooth_noise((128, 192)) > 0.5).astype(np.float32)
             if not spec.binary_alpha:
                 alpha = np.clip(alpha * 0.9 + 0.05, 0, 1)
@@ -262,9 +326,16 @@ class SyntheticPlanesDataset:
             if spec.look_at_z is not None:
                 c = c2w[:3, 3]
                 f = np.array([0.0, 0.0, spec.look_at_z]) - c
-                f = f / np.linalg.norm(f)
+                # Degenerate look-at specs (camera at the target point, or
+                # forward parallel to the +y up vector) would silently emit
+                # NaN poses — fail loudly instead (ADVICE.md r2).
+                fn = np.linalg.norm(f)
+                assert fn > 1e-6, f"camera {i} sits at the look_at point"
+                f = f / fn
                 r = np.cross([0.0, 1.0, 0.0], f)
-                r = r / np.linalg.norm(r)
+                rn = np.linalg.norm(r)
+                assert rn > 1e-6, f"camera {i} forward is parallel to up"
+                r = r / rn
                 u = np.cross(f, r)
                 c2w[:3, :3] = np.stack([r, u, f], axis=1)
             if spec.rot_wobble_deg:
@@ -279,7 +350,7 @@ class SyntheticPlanesDataset:
             self.poses.append(c2w)
         self.poses = np.stack(self.poses).astype(np.float32)
 
-        f = 1.2 * w
+        f = spec.focal_factor * w
         self.K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
         self.images = np.stack([self._render(p) for p in self.poses])
 
@@ -310,6 +381,20 @@ class SyntheticPlanesDataset:
             + tex[v1, u1] * fu * fv
         )
 
+    def _plane_half_extent(self, d):
+        """Half extents (hx, hy) of the textured plane at depth d (see
+        SyntheticSceneSpec.plane_span)."""
+        if self.spec.plane_span == "legacy":
+            return 2.0, 1.5
+        # Cover the frustum: tan(half-FOV) = 0.5/focal_factor per axis
+        # (square pixels; the y half-angle scales with h/w), plus the
+        # camera-arc offset margin (arc up to ~1 unit + look_at swing).
+        h, w = self.spec.image_size
+        tx = 0.5 / self.spec.focal_factor
+        ty = tx * (h / w)
+        margin = 0.6 * self.spec.arc_scale + 0.5
+        return tx * d * 1.35 + margin, ty * d * 1.35 + margin
+
     def _render(self, c2w):
         h, w = self.spec.image_size
         xs, ys = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
@@ -326,9 +411,9 @@ class SyntheticPlanesDataset:
             s = (d - t[2]) / dirs[2]
             px = t[0] + s * dirs[0]
             py = t[1] + s * dirs[1]
-            # Plane spans [-2, 2] x [-1.5, 1.5]; sample texture.
-            u = (px + 2.0) / 4.0 * (tex.shape[1] - 1)
-            v = (py + 1.5) / 3.0 * (tex.shape[0] - 1)
+            hx, hy = self._plane_half_extent(d)
+            u = (px + hx) / (2 * hx) * (tex.shape[1] - 1)
+            v = (py + hy) / (2 * hy) * (tex.shape[0] - 1)
             inside = (u >= 0) & (u < tex.shape[1]) & (v >= 0) & (v < tex.shape[0])
             a = self._bilinear(alpha, u, v) * inside
             if self.spec.binary_alpha:
@@ -359,8 +444,9 @@ class SyntheticPlanesDataset:
             s = (d - t[2]) / dirs[2]
             px = t[0] + s * dirs[0]
             py = t[1] + s * dirs[1]
-            u = (px + 2.0) / 4.0 * (tex.shape[1] - 1)
-            v = (py + 1.5) / 3.0 * (tex.shape[0] - 1)
+            hx, hy = self._plane_half_extent(d)
+            u = (px + hx) / (2 * hx) * (tex.shape[1] - 1)
+            v = (py + hy) / (2 * hy) * (tex.shape[0] - 1)
             inside = (u >= 0) & (u < tex.shape[1]) & (v >= 0) & (v < tex.shape[0])
             a = self._bilinear(alpha, u, v) * inside
             if self.spec.binary_alpha:

@@ -24,13 +24,22 @@ from ..ops.grid_sample import grid_sample
 from ..ops.ssim import ssim_photometric
 
 
-def warp_ref_image(inv_depth, ref_image, K, ref_K, pose_mat):
+def warp_ref_image(inv_depth, ref_image, K, ref_K, pose_mat, return_mask=False):
     """Warp ref image into the target frame via depth + pose (ref :106-138,
-    :245-276). inv_depth (b,1,h,w); ref_image (b,3,h,w); pose target->ref."""
+    :245-276). inv_depth (b,1,h,w); ref_image (b,3,h,w); pose target->ref.
+
+    With return_mask, also returns the (b,1,h,w) in-bounds validity mask
+    (pixels whose warp lands inside the reference frame)."""
     depth = inv2depth(inv_depth)
     world = cam.reconstruct(depth, K)
     coords = cam.project(world, ref_K, Twc=pose_mat, normalize=True)
-    return grid_sample(ref_image, coords, align_corners=True)
+    warped = grid_sample(ref_image, coords, align_corners=True)
+    if not return_mask:
+        return warped
+    valid = (
+        (jnp.abs(coords[..., 0]) <= 1.0) & (jnp.abs(coords[..., 1]) <= 1.0)
+    )[:, None].astype(warped.dtype)
+    return warped, valid
 
 
 def _photometric_map(t_est, images, ssim_weight, C1, C2, clip):
@@ -65,28 +74,57 @@ def photometric_decay_loss(
     clip: float = 0.5,
     gamma: float = 0.85,
     automask: bool = True,
+    valid_mask: bool = False,
 ) -> dict:
-    """Returns {'loss': scalar, 'metrics': {...}} (ref forward :412-516)."""
+    """Returns {'loss': scalar, 'metrics': {...}} (ref forward :412-516).
+
+    valid_mask (TPU-build extension, OFF by default for reference parity):
+    the reference warps with padding_mode='zeros' (photometric_loss.py:106),
+    so out-of-frame warps compare the target against black. On wide-baseline
+    or low-texture data that creates a positive feedback — poses that push
+    pixels out of frame reduce the loss wherever the target is dark, and
+    once everything is out of frame the automask min hides the warp entirely
+    (zero pose gradient, translations drift unbounded; observed in the round-2
+    flagship: unaligned t_err 17.7 vs 0.25 identity baseline). With
+    valid_mask=True, out-of-frame residuals are excluded: they cannot win
+    the min-reduce, and pixels with no valid residual at all are dropped
+    from the mean."""
     n_iters = inv_depths.shape[0]
     nv = ref_imgs.shape[0]
     poses = poses[0]  # (nv, n_iters, 6)
+    BIG = jnp.asarray(1e4, image.dtype)
 
     per_iter_losses = []
     for i in range(n_iters):
         residuals = []
+        valids = []
         for j in range(nv):
             pose_mat = pose_from_vec(poses[j, i][None])
-            warped = warp_ref_image(
-                inv_depths[i], ref_imgs[j][None], K, ref_Ks[j][None], pose_mat
+            warped, valid = warp_ref_image(
+                inv_depths[i], ref_imgs[j][None], K, ref_Ks[j][None], pose_mat,
+                return_mask=True,
             )
-            residuals.append(_photometric_map(warped, image, ssim_weight, C1, C2, clip))
+            res = _photometric_map(warped, image, ssim_weight, C1, C2, clip)
+            if valid_mask:
+                res = jnp.where(valid > 0.5, res, BIG)
+                valids.append(valid)
+            residuals.append(res)
             if automask:
                 residuals.append(
                     _photometric_map(ref_imgs[j][None], image, ssim_weight, C1, C2, clip)
                 )
+                valids.append(jnp.ones_like(valid))
         # min-reduce over views (+automask copies), then mean over pixels.
         stacked = jnp.concatenate(residuals, axis=1)  # (1, n_res, h, w)
-        per_iter_losses.append(jnp.mean(jnp.min(stacked, axis=1)))
+        min_res = jnp.min(stacked, axis=1)
+        if valid_mask:
+            any_valid = jnp.max(jnp.concatenate(valids, axis=1), axis=1) > 0.5
+            per_iter_losses.append(
+                jnp.sum(jnp.where(any_valid, min_res, 0.0))
+                / jnp.maximum(jnp.sum(any_valid.astype(image.dtype)), 1.0)
+            )
+        else:
+            per_iter_losses.append(jnp.mean(min_res))
 
     weights = gamma ** (n_iters - 1 - jnp.arange(n_iters, dtype=image.dtype))
     photo = jnp.sum(weights * jnp.stack(per_iter_losses))

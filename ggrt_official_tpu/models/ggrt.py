@@ -82,7 +82,8 @@ class GGRtModel(nn.Module):
         sfm = None
         if compute_sfm_loss:
             sfm = photometric_decay_loss(
-                tgt, refs, out.inv_depths, target_K, ref_K, out.rel_poses
+                tgt, refs, out.inv_depths, target_K, ref_K, out.rel_poses,
+                valid_mask=self.cfg.train.sfm_valid_mask,
             )
         return out.inv_depths, out.rel_poses[0], sfm, out.fmap
 

@@ -52,12 +52,10 @@ def gather_tile_records(
     comp = jnp.concatenate(
         [pg.mean2d, pg.conic, pg.color, pg.opacity[:, None]], axis=-1
     )
-    if inv_pos is not None:
-        from .pallas_composite import _gather_rows
+    del inv_pos  # no longer needed: the pullback scatters live rows only
+    from .pallas_composite import _gather_rows
 
-        gath = _gather_rows(comp, safe_ids, inv_pos)
-    else:
-        gath = comp[safe_ids]
+    gath = _gather_rows(comp, gaussian_ids)
     return (
         gath[..., 0:2],
         gath[..., 2:5],

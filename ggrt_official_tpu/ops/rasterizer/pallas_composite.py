@@ -334,34 +334,34 @@ _USE_INV_VJP = True
 
 
 @jax.custom_vjp
-def _gather_rows(comp, safe_ids, inv_pos):
-    """comp[safe_ids] with a gather-based pullback.
+def _gather_rows(comp, ids):
+    """comp[max(ids, 0)] with an explicit scatter-add pullback over the LIVE
+    list entries only.
 
-    XLA transposes a gather into a scatter-add, which TPU lowers poorly
-    (~10 ms at bench scale). Binning already knows the inverse map —
-    inv_pos[g, slot] = flat position of that dup entry in (tiles·K), or
-    -1 — so the pullback is dcomp[g] = Σ_slot dgath_flat[inv_pos[g, slot]]:
-    a gather plus a dup-axis sum, no scatter anywhere.
+    Letting JAX transpose the gather makes a (tiles·K)-row scatter whose
+    index array includes every padded entry; round 2 replaced it with an
+    inv_pos gather over the full (g, max_dup) dup table — 6.9M mostly-dead
+    rows, 20.6 ms at bench scale. Scattering just the (tiles·K) live rows
+    (164k) measures 10.9 ms (diag round 3); dead entries (ids < 0) route to
+    a dump row. No inv_pos needed.
     """
-    return comp[safe_ids]
+    return comp[jnp.maximum(ids, 0)]
 
 
-def _gather_rows_fwd(comp, safe_ids, inv_pos):
-    return comp[safe_ids], (inv_pos,)
+def _gather_rows_fwd(comp, ids):
+    return comp[jnp.maximum(ids, 0)], (ids, comp.shape[0])
 
 
 def _gather_rows_bwd(res, dgath):
-    (inv_pos,) = res
+    ids, g = res
     t, K, C = dgath.shape
-    flat = jnp.concatenate(
-        [dgath.reshape(t * K, C), jnp.zeros((1, C), dgath.dtype)], axis=0
-    )
-    idx = jnp.where(inv_pos >= 0, inv_pos, t * K)
-    dcomp = jnp.sum(flat[idx], axis=1)                # (g, dup, C) -> (g, C)
+    idx = jnp.where(ids >= 0, ids, g).reshape(-1)
+    dcomp = jnp.zeros((g + 1, C), dgath.dtype)
+    dcomp = dcomp.at[idx].add(dgath.reshape(t * K, C), mode="drop")
     import numpy as np
 
-    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return dcomp, f0(inv_pos), f0(inv_pos)
+    f0 = np.zeros(ids.shape, jax.dtypes.float0)
+    return dcomp[:g], f0
 
 
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
@@ -389,8 +389,8 @@ def build_records(pg: ProjectedGaussians, binning: TileBinning):
     comp = jnp.concatenate(
         [pg.mean2d, pg.conic, pg.color, pg.opacity[:, None]], axis=-1
     )  # (g, 9)
-    if _USE_INV_VJP and binning.inv_pos is not None and K_pad == K0:
-        gath = _gather_rows(comp, safe_ids0, binning.inv_pos)  # (t, K0, 9)
+    if _USE_INV_VJP:
+        gath = _gather_rows(comp, ids)  # (t, K0, 9)
     else:
         gath = comp[safe_ids0]
     if K_pad != K0:

@@ -63,10 +63,10 @@ class TileBinning(NamedTuple):
     counts: jnp.ndarray        # (num_tiles,) int32
     num_tiles_y: int
     num_tiles_x: int
-    # Inverse of gaussian_ids: for each (gaussian, dup-slot), the flat
-    # position tile*K + rank it landed at, or -1. Lets the record-gather's
-    # VJP run as a gather + dup-axis sum instead of XLA's scatter-add
-    # (pallas_composite._gather_rows). None when not materialized.
+    # Round-2 carried an inv_pos inverse map here for a gather-based record
+    # VJP; round 3 replaced it with a live-rows scatter-add pullback
+    # (pallas_composite._gather_rows), which is both faster (10.9 vs 20.6 ms
+    # at bench scale) and frees binning from materializing the inverse.
     inv_pos: jnp.ndarray | None = None
 
 
@@ -158,8 +158,7 @@ def bin_gaussians(
         flat_q = jnp.broadcast_to(q[:, None], (g, max_dup)).reshape(-1)
         # Payload = flat dup index gid·max_dup + slot (ascending ⟺ the old
         # (gid, slot) order, so the stable sort produces identical lists);
-        # gid is recovered at the K selected positions only, and the dup
-        # index additionally yields inv_pos for the gather-based record VJP.
+        # gid is recovered at the K selected positions only.
         flat_didx = jnp.arange(g * max_dup, dtype=jnp.int32)
         packed = (flat_tile << qbits) | flat_q
         packed_sorted, didx_sorted = jax.lax.sort((packed, flat_didx), num_keys=1)
@@ -174,15 +173,10 @@ def bin_gaussians(
         positions = jnp.clip(positions, 0, didx_sorted.shape[0] - 1)
         didx_at = didx_sorted[positions]                       # (t, K)
         ids = jnp.where(in_seg, didx_at // max_dup, -1)
-
-        flatpos = jnp.arange(num_tiles * max_per_tile, dtype=jnp.int32)
-        scatter_idx = jnp.where(in_seg, didx_at, g * max_dup).reshape(-1)
-        inv = jnp.full((g * max_dup + 1,), -1, jnp.int32)
-        inv = inv.at[scatter_idx].set(flatpos, mode="drop")
-        inv_pos = inv[:-1].reshape(g, max_dup)
+        # (inv_pos is gone: the record-gather pullback scatters the live
+        # (t, K) rows directly — see pallas_composite._gather_rows.)
         return TileBinning(
             gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx,
-            inv_pos=inv_pos,
         )
     else:
         # Huge images: not enough bits for a packed key — exact-rank
@@ -337,15 +331,6 @@ def bin_gaussians_counting(
     ids = ids.at[position].set(jnp.where(valid_entry, gid_flat, -1), mode="drop")
     ids = ids[:-1].reshape(num_tiles, max_per_tile)
 
-    # Inverse map for the gather-based record VJP (see bin_gaussians).
-    didx = (order[:, None] * max_dup + slot[None, :]).reshape(-1)
-    inv = jnp.full((g * max_dup + 1,), -1, jnp.int32)
-    inv = inv.at[jnp.where(valid_entry, didx, g * max_dup)].set(
-        jnp.where(valid_entry, position, -1), mode="drop"
-    )
-    inv_pos = inv[:-1].reshape(g, max_dup)
-
     return TileBinning(
         gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx,
-        inv_pos=inv_pos,
     )
