@@ -152,6 +152,61 @@ def measure(profile_dir=None):
     )(pg)
     overflow = {k: float(v) for k, v in ov.items()}
 
+    # --- secondary config: Waymo-scale single chip (BASELINE config #5,
+    # SURVEY §6: waymo test renders at 640x960; driving-scene density).
+    # Stresses the sort and the demand-driven cap policy where SURVEY §7.3
+    # predicts they break. Disable with GGRT_BENCH_WAYMO=0.
+    waymo = None
+    if _os.environ.get("GGRT_BENCH_WAYMO", "1") != "0":
+        from ggrt_official_tpu.ops.rasterizer.tiling import recommend_max_per_tile
+
+        WH, WW = 640, 960
+        (wm, wc, wsh, wo, wext, wint, wnear, wfar, wbg) = build_inputs(
+            jax, jnp, WH, WW
+        )
+        pgw = project_gaussians(
+            wm[0], wc[0], wsh[0], wo[0], wext[0], wint[0], wnear[0], wfar[0],
+            (WH, WW),
+        )
+        rec = recommend_max_per_tile(pgw, (WH, WW), max_dup=kw["max_dup"])
+
+        def wloss(wm, wc, wsh, wo, wext):
+            img = raster.render(
+                wext, wint, wnear, wfar, (WH, WW), wbg, wm, wc, wsh, wo,
+                backend=backend, max_per_tile=rec["max_per_tile"],
+                max_dup=kw["max_dup"], tile_chunk=kw["tile_chunk"],
+            )
+            return jnp.mean(img**2)
+
+        wstep = jax.jit(
+            lambda *a: sum(
+                jnp.sum(gr) for gr in jax.grad(wloss, argnums=(0, 1, 2, 3, 4))(*a)
+            )
+        )
+        wout = wstep(wm, wc, wsh, wo, wext)
+        jax.block_until_ready(wout)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            wout = wstep(wm, wc, wsh, wo, wext)
+        jax.block_until_ready(wout)
+        wdt = (time.perf_counter() - t0) / 5
+        wov = jax.jit(
+            lambda pg: binning_overflow_stats(
+                pg, (WH, WW), max_dup=kw["max_dup"],
+                max_per_tile=rec["max_per_tile"],
+            )
+        )(pgw)
+        waymo = {
+            "resolution": [WH, WW],
+            "n_gaussians": int(wm.shape[1]),
+            "step_ms": round(wdt * 1e3, 2),
+            "pixels_per_s": round(WH * WW / wdt, 1),
+            "chosen_max_per_tile": rec["max_per_tile"],
+            "cap_clipped": rec["clipped"],
+            "max_tile_demand": rec["max_tile_demand"],
+            "overflow": {k: float(v) for k, v in wov.items()},
+        }
+
     pixels_per_s = H * W / dt
     baseline = 30.0 * H * W  # 30 fps forward-only "real-time" bar
     return {
@@ -167,6 +222,7 @@ def measure(profile_dir=None):
             "device": str(dev),
             "pallas_vs_xla_mean_err": err,
             "binning_overflow": overflow,
+            "waymo_640x960": waymo,
         },
     }
 

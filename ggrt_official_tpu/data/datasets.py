@@ -340,8 +340,15 @@ class SyntheticPlanesDataset:
                 c2w[:3, :3] = np.stack([r, u, f], axis=1)
             if spec.rot_wobble_deg:
                 a = np.deg2rad(spec.rot_wobble_deg)
-                yaw = a * np.sin(2.3 * i + 0.7)
-                pitch = 0.6 * a * np.cos(1.7 * i + 0.3)
+                # Seed-dependent phases: without them every seed shares the
+                # exact same camera set, so a held-out-SCENE eval would test
+                # pose prediction on cameras the network has memorized
+                # (observed round 3: identical identity baselines across
+                # seeds). Separate RandomState keeps textures byte-stable.
+                prng = np.random.RandomState(spec.seed + 1000)
+                p1, p2 = prng.uniform(0, 2 * np.pi, 2)
+                yaw = a * np.sin(2.3 * i + 0.7 + p1)
+                pitch = 0.6 * a * np.cos(1.7 * i + 0.3 + p2)
                 cy, sy = np.cos(yaw), np.sin(yaw)
                 cp, sp = np.cos(pitch), np.sin(pitch)
                 ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])

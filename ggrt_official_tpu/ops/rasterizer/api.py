@@ -42,7 +42,11 @@ def _render_one(
         means, covariances, sh_coeffs, opacities,
         extrinsics, intrinsics, near, far, image_shape,
     )
-    bin_fn = tiling.bin_gaussians_counting if binning_mode == "counting" else tiling.bin_gaussians
+    bin_fn = {
+        "counting": tiling.bin_gaussians_counting,
+        "banked": tiling.bin_gaussians_banked,
+        "sort": tiling.bin_gaussians,
+    }[binning_mode]
     # Binning is a discrete choice (which Gaussians land on which tile, in
     # what order) — exactly like the CUDA kernel's sort, it has no useful
     # derivative. stop_gradient makes that explicit to AD, so the whole

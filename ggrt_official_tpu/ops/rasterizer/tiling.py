@@ -250,6 +250,49 @@ def binning_overflow_stats(
     }
 
 
+def recommend_max_per_tile(
+    pg: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    max_dup: int = 8,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    floor: int = 256,
+    cap: int = 8192,
+) -> dict:
+    """Demand-driven per-tile capacity policy (host-side; K is a static jit
+    arg, so callers measure once per scene/population and build the render
+    with the returned K).
+
+    The CUDA reference has no cap (dynamic lists, cuda_splatting.py:118-125);
+    our static K must be chosen. Policy: K = next power of two covering
+    max_tile_demand (full recall), clipped to [floor, cap]. When demand
+    exceeds `cap`, `clipped` is True and callers should log it — binning
+    keeps the NEAREST K per tile, so losses concentrate in what deep
+    occlusion usually hides, but only a dense occluding population makes
+    that cheap (bench scene: 46.9 dB at K=1024 vs demand 16.6k); sparse
+    low-coverage populations degrade hard below demand (measured 33-40 dB
+    at half demand on the TestCapPolicy populations — mean-field
+    "transmittance horizon" estimates were tried and mispredict clumped
+    coverage, so no heuristic discount is applied).
+
+    Returns {"max_per_tile", "max_tile_demand", "clipped", "mean_alpha"}.
+    """
+    stats = binning_overflow_stats(
+        pg, image_shape, max_dup=max_dup, max_per_tile=1, tile_h=tile_h, tile_w=tile_w
+    )
+    demand = int(stats["max_tile_demand"])
+    vis = pg.valid
+    nvis = jnp.maximum(jnp.sum(vis.astype(jnp.float32)), 1.0)
+    mean_alpha = float(jnp.sum(jnp.where(vis, pg.opacity, 0.0)) / nvis)
+    k = max(floor, 1 << (max(demand, 1) - 1).bit_length())
+    return {
+        "max_per_tile": int(min(k, cap)),
+        "max_tile_demand": demand,
+        "clipped": bool(k > cap),
+        "mean_alpha": mean_alpha,
+    }
+
+
 def bin_gaussians_counting(
     pg: ProjectedGaussians,
     image_shape: tuple[int, int],
@@ -334,3 +377,145 @@ def bin_gaussians_counting(
     return TileBinning(
         gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx,
     )
+
+
+def _dup_window_banked(pg, x0, x1, y0, y1, tile_w: int, tile_h: int,
+                       win_x: int, win_y: int):
+    """Fixed-shape (win_y rows x win_x cols) mean-centered dup window.
+
+    Unlike `_dup_window` (adaptive shape up to max_dup cells), the window
+    SHAPE is static, which lets banked binning label every dup slot s with
+    a fixed (dy, dx) = (s // win_x, s % win_x) offset — the property that
+    makes per-tile lists contiguous segments of ONE per-gaussian sort (see
+    bin_gaussians_banked)."""
+    nxw = jnp.minimum(x1 - x0, win_x)
+    nyw = jnp.minimum(y1 - y0, win_y)
+    tx = jnp.clip((pg.mean2d[:, 0] / tile_w).astype(jnp.int32), x0, x1 - 1)
+    ty = jnp.clip((pg.mean2d[:, 1] / tile_h).astype(jnp.int32), y0, y1 - 1)
+    x0w = jnp.clip(tx - (nxw - 1) // 2, x0, x1 - nxw)
+    y0w = jnp.clip(ty - (nyw - 1) // 2, y0, y1 - nyw)
+    return x0w, y0w, nxw, nyw
+
+
+def bin_gaussians_banked(
+    pg: ProjectedGaussians,
+    image_shape: tuple[int, int],
+    max_dup: int = 8,
+    max_per_tile: int = 1024,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+) -> TileBinning:
+    """Sort-free-ish binning: ONE per-gaussian sort instead of the
+    (g · max_dup)-entry global pair sort.
+
+    Key idea: with a FIXED window shape (win_y x win_x, win_y·win_x =
+    max_dup), dup slot s always means offset (dy, dx) = (s // win_x,
+    s % win_x) from the window origin (x0w, y0w). Sort the g gaussians once
+    by (window-origin group, depth); then for ANY tile (r, c) and slot s,
+    the candidate gaussians are exactly the contiguous segment of group
+    (r - dy, c - dx) — already depth-ordered. Per tile, gather the
+    max_dup segments (each truncated to K — safe: the front-K of a merge is
+    contained in the union of the streams' front-Ks) and merge them with a
+    small vmapped per-tile sort of max_dup·K keys.
+
+    Work: sort g keys (vs g·max_dup), gather t·max_dup·K entries, batched
+    sort of t x (max_dup·K). Lists are bit-identical to
+    `bin_gaussians` modulo the window shape (fixed vs adaptive).
+    """
+    h, w = image_shape
+    ntx = -(-w // tile_w)
+    nty = -(-h // tile_h)
+    num_tiles = ntx * nty
+    g = pg.mean2d.shape[0]
+    win_x = 1 if ntx == 1 else 2
+    win_y = max_dup // win_x
+    K = max_per_tile
+    S = win_x * win_y
+
+    x0, x1, y0, y1, visible = _tile_aabb(pg, ntx, nty, tile_w, tile_h)
+    x0w, y0w, nxw, nyw = _dup_window_banked(
+        pg, x0, x1, y0, y1, tile_w, tile_h, win_x, win_y
+    )
+    visible = visible & (nxw > 0) & (nyw > 0)
+
+    tile_bits = (num_tiles + 1).bit_length()
+    qbits = min(DEPTH_BITS, 31 - tile_bits)
+    q = _quantize_depth(pg.depth, visible, qbits)
+    group = jnp.where(visible, y0w * ntx + x0w, num_tiles).astype(jnp.int32)
+    key = (group << qbits) | q
+    # Payloads: gid, and the packed window shape (payload count is ~free in
+    # the TPU sort — comparator passes dominate, see BENCH_NOTES).
+    win_pack = (nxw | (nyw << 2)).astype(jnp.int32)
+    key_sorted, gid_sorted, win_sorted = jax.lax.sort(
+        (key, jnp.arange(g, dtype=jnp.int32), win_pack), num_keys=1
+    )
+    q_sorted = key_sorted & ((1 << qbits) - 1)
+
+    grp_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(key_sorted, grp_range << qbits, side="left").astype(jnp.int32)
+
+    # Per (tile, slot): source group segment.
+    t_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    r = t_idx // ntx
+    c = t_idx - r * ntx
+    dy_l = [s // win_x for s in range(S)]          # python ints: slot offsets
+    dx_l = [s % win_x for s in range(S)]
+    dy = jnp.asarray(dy_l, jnp.int32)
+    dx = jnp.asarray(dx_l, jnp.int32)
+    src_r = r[:, None] - dy[None, :]          # (t, S)
+    src_c = c[:, None] - dx[None, :]
+    grp_ok = (src_r >= 0) & (src_c >= 0)
+    grp = jnp.where(grp_ok, src_r * ntx + src_c, num_tiles)
+    seg_lo = starts[grp]                       # (t, S)
+    seg_total = starts[grp + 1] - seg_lo
+
+    # Per-slot gather budgets. A stream for offset (dy, dx) is DILUTED: it
+    # holds every gaussian whose window ORIGIN is that group, but only
+    # those with nyw > dy and nxw > dx are valid for this tile — so a
+    # front-L_s cut can drop valid far entries when the stream is longer
+    # than its budget. The (0, 0) stream is undiluted (every window covers
+    # its own origin) and gets the full K; deeper offsets are rarer (most
+    # windows are 1-2 cells) and get tapered budgets. Drops concentrate in
+    # the far-depth tail of crowded streams — the same population the K cap
+    # already drops; quality is gated by tests/test_rasterizer.py and the
+    # tail mass is reported by binning_overflow_stats callers via
+    # `stream_tail_entries` below.
+    budgets = [max(K >> (dy_ + dx_), K // 8) for dy_, dx_ in zip(dy_l, dx_l)]
+    budgets[0] = K
+
+    q_cols, gid_cols = [], []
+    tail = jnp.zeros((num_tiles,), jnp.int32)
+    for s in range(S):
+        L = budgets[s]
+        k_r = jnp.arange(L, dtype=jnp.int32)
+        lo = seg_lo[:, s]
+        length = jnp.minimum(seg_total[:, s], L)
+        tail = tail + jnp.maximum(seg_total[:, s] - L, 0)
+        pos = jnp.clip(lo[:, None] + k_r[None, :], 0, g - 1)     # (t, L)
+        in_seg = (k_r[None, :] < length[:, None]) & grp_ok[:, s : s + 1]
+        gid_at = gid_sorted[pos]
+        win_at = win_sorted[pos]
+        nxw_at = win_at & 3
+        nyw_at = win_at >> 2
+        slot_ok = (dy_l[s] < nyw_at) & (dx_l[s] < nxw_at)
+        valid = in_seg & slot_ok
+        q_cols.append(jnp.where(valid, q_sorted[pos], (1 << qbits) - 1))
+        gid_cols.append(jnp.where(valid, gid_at, jnp.int32(0x7FFFFFFF)))
+
+    q_all = jnp.concatenate(q_cols, axis=1)       # (t, sum L_s)
+    gid_all = jnp.concatenate(gid_cols, axis=1)
+
+    # Per-tile merge: 2-key sort (depth, gid) — identical tie-breaking to
+    # the packed global sort (stable by gaussian id).
+    q_fin, gid_fin = jax.lax.sort((q_all, gid_all), dimension=1, num_keys=2)
+
+    n_valid = jnp.sum((gid_all != 0x7FFFFFFF).astype(jnp.int32), axis=1)
+    counts = jnp.minimum(n_valid, K)
+    ids = jnp.where(
+        jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None],
+        gid_fin[:, :K], -1,
+    )
+    binning = TileBinning(
+        gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx,
+    )
+    return binning

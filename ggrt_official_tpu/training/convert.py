@@ -359,3 +359,47 @@ def merge_params(template: dict, converted: dict, strict_shapes: bool = False) -
                 cval = tval
             out[key] = cval
     return out
+
+
+def convert_reference_checkpoint(
+    ckpt: dict, template: dict, encoder_cfg=None, iters: int = 12
+) -> dict:
+    """Convert a full reference training checkpoint into the composite
+    GGRtModel param tree.
+
+    `ckpt` follows the reference's compose_state_dicts keying
+    (train_ggrt_stable.py:60-66 / checkpoint_manager.py:13-190): component
+    'pose_learner' is a DepthPoseNet state dict, component 'gaussian' a
+    PixelSplat state dict whose learnable keys all live under 'encoder.*'
+    (DecoderSplattingCUDA has no parameters). `template` is the flax
+    {'pose_learner': ..., 'gaussian': ...} params tree from model.init.
+
+    Returns the merged tree; leaves absent from the checkpoint keep their
+    template values (the reference's strict=False partial-load semantics).
+    """
+    converted: dict = {}
+    if "pose_learner" in ckpt:
+        converted["pose_learner"] = apply_name_map(
+            _numpyify(ckpt["pose_learner"]), depth_pose_net_name_map(iters)
+        )
+    if "gaussian" in ckpt:
+        enc_sd = {
+            k[len("encoder."):]: v
+            for k, v in _numpyify(ckpt["gaussian"]).items()
+            if k.startswith("encoder.")
+        }
+        converted["gaussian"] = {
+            "encoder": apply_name_map(enc_sd, encoder_name_map(encoder_cfg))
+        }
+    assert_tree_shapes_match(converted, template)
+    return merge_params(template, converted)
+
+
+def _numpyify(sd: dict) -> dict:
+    """torch tensors / arrays -> numpy (torch optional)."""
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out

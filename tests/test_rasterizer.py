@@ -264,3 +264,74 @@ class TestOverflowStats:
         total = float(tight["pairs_wanted"])
         kept = total - float(tight["dropped_by_max_dup"]) - float(tight["dropped_by_max_per_tile"])
         assert abs(kept / total - float(tight["recall"])) < 1e-6
+
+
+class TestCapPolicy:
+    """Demand-driven per-tile capacity (VERDICT r2 #4): the recommended K
+    must hold render quality >= 45 dB vs effectively-uncapped across
+    populations with different depth complexity — not just the bench scene."""
+
+    def _population(self, kind, key, n=3000):
+        ks = jax.random.split(key, 6)
+        if kind == "shallow":
+            z = jax.random.uniform(ks[2], (1, n), minval=2.8, maxval=3.2)
+            opa_rng = (0.3, 0.9)
+        elif kind == "deep":
+            # driving-scene-like: long depth column stacked onto few tiles
+            z = jax.random.uniform(ks[2], (1, n), minval=1.2, maxval=18.0)
+            opa_rng = (0.2, 0.9)
+        else:  # "faint": tiny opacities -> long transmittance horizon
+            z = jax.random.uniform(ks[2], (1, n), minval=1.5, maxval=8.0)
+            opa_rng = (0.02, 0.12)
+        means = jnp.stack(
+            [
+                jax.random.uniform(ks[0], (1, n), minval=-0.6, maxval=0.6) * z,
+                jax.random.uniform(ks[1], (1, n), minval=-0.4, maxval=0.4) * z,
+                z,
+            ],
+            axis=-1,
+        )
+        scales = jax.random.uniform(ks[3], (1, n, 3), minval=0.01, maxval=0.06)
+        cov = jnp.eye(3)[None, None] * scales[..., None] ** 2
+        sh = jax.random.normal(ks[4], (1, n, 3, 4)) * 0.3
+        opa = jax.random.uniform(ks[5], (1, n), minval=opa_rng[0], maxval=opa_rng[1])
+        extr = jnp.eye(4)[None]
+        intr = jnp.array([[[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]])
+        return dict(
+            extrinsics=extr, intrinsics=intr, near=jnp.full((1,), 1.0),
+            far=jnp.full((1,), 25.0), background=jnp.zeros((1, 3)),
+            means=means, covariances=cov, sh_coeffs=sh, opacities=opa,
+        )
+
+    @pytest.mark.parametrize("kind", ["shallow", "deep", "faint"])
+    def test_recommended_cap_holds_45db(self, kind):
+        from ggrt_official_tpu.ops.rasterizer.projection import project_gaussians
+        from ggrt_official_tpu.ops.rasterizer.tiling import recommend_max_per_tile
+
+        shape = (32, 128)  # one tile column: concentrates per-tile demand
+        scene = self._population(kind, jax.random.PRNGKey(7))
+        pg = project_gaussians(
+            scene["means"][0], scene["covariances"][0], scene["sh_coeffs"][0],
+            scene["opacities"][0], scene["extrinsics"][0], scene["intrinsics"][0],
+            scene["near"][0], scene["far"][0], shape,
+        )
+        rec = recommend_max_per_tile(pg, shape, max_dup=8)
+        assert rec["max_per_tile"] >= 256
+        assert not rec["clipped"]
+        uncapped_k = max(
+            2 << (int(rec["max_tile_demand"]) - 1).bit_length(), rec["max_per_tile"]
+        )
+
+        def rend(k):
+            return api.render(
+                scene["extrinsics"], scene["intrinsics"], scene["near"],
+                scene["far"], shape, scene["background"], scene["means"],
+                scene["covariances"], scene["sh_coeffs"], scene["opacities"],
+                backend="tiled", max_dup=8, max_per_tile=int(k),
+            )
+
+        img_rec = rend(rec["max_per_tile"])
+        img_full = rend(uncapped_k)
+        mse = float(jnp.mean((img_rec - img_full) ** 2))
+        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr >= 45.0, (kind, rec, psnr)

@@ -1,31 +1,39 @@
-"""Round-2 flagship proof run: staged synthetic pretrain + held-out eval.
+"""Round-3 flagship proof run: staged synthetic pretrain + held-out eval.
 
-VERDICT.md round-1 item 3 asked for committed evidence that the framework
-actually learns: held-out synthetic PSNR > 20 and R_err < 10 deg after a
-multi-scene pretrain (the round-1 run overfit train views while held-out
-sat at PSNR 7.2 / R_err 145 deg, traced to a pose-convention bug since
-pinned by tests/test_pose_convention.py).
+The flagship demonstrates the product's headline capability end-to-end:
+pose-free generalizable rendering. Recipe (CPU-rehearsed by
+tools/diag_pose_learn_v3.py; scene + loss fixes diagnosed by the
+tools/diag_pose_* series):
 
-Recipe (validated on CPU by tools/diag_pose_learn.py / diag_pose_distill.py):
   stage 1  nerf_only  — train G-3DGS with dataset poses,
-  stage 2  pose_only  — train IPO-Net with the photometric warp loss plus
-                        depth distillation from the frozen gaussian render
-                        (config.pose_depth_distill).
-This mirrors the reference's state machine (train_ggrt_stable.py:126-150)
-but staged instead of 'joint' because short runs can't amortize the
-exp-decay joint loss.
+  stage 2  pose_only  — train IPO-Net with the photometric warp loss
+                        (sfm_valid_mask=True) plus depth distillation from
+                        the frozen gaussian render (pose_depth_distill).
+
+Scene: flagship_scene_spec (datasets.py) — multi-octave texture, wide FOV,
+deep parallax, frustum-covering planes; direct Adam on raw pose vecs
+converges from identity on it (it diverges on the round-2 scene).
 
 Eval protocol matches /root/reference/eval/eval_ggrt.py:265-332 (pose
-correction -> ATE-aligned R/t errors; render -> PSNR/SSIM): held-out
-*views* (mode="test") of a training scene, and a fully held-out *scene*
-(unseen seed), both with IPO-Net-predicted poses; a gt-pose arm isolates
-G-3DGS quality from pose quality.
+correction -> R/t errors; render -> PSNR/SSIM): held-out *views*
+(mode="test") of a training scene and a fully held-out *scene*, each with
+BOTH a predicted-pose arm and a GT-pose arm (the GT arm isolates G-3DGS
+quality from pose quality), plus a per-arm identity-prediction pose
+baseline (unaligned errors only — the sim3 fit is degenerate for
+broadcast-identity predictions, ADVICE r2).
 
-Writes EVAL_FLAGSHIP_r02.json at the repo root.
+Round-3 acceptance bar (VERDICT r2 #1): heldout-views pred-pose PSNR
+within 2 dB of the GT-pose arm AND R_err_unaligned < 0.5x the identity
+baseline.
 
-Usage: python tools/run_flagship.py [--nerf 1600] [--pose 700] [--out out/flagship]
+Writes <out>/EVAL_FLAGSHIP.json and (only at default args) the round
+artifact EVAL_FLAGSHIP_r03.json at the repo root; the artifact embeds the
+full args + scene spec so smoke runs are distinguishable (ADVICE r2).
+
+Usage: python tools/run_flagship.py [--nerf 1600] [--pose 900] [--out out/flagship_r03]
 """
 import argparse
+import dataclasses
 import itertools
 import json
 import sys
@@ -39,52 +47,65 @@ sys.path.insert(0, str(ROOT))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nerf", type=int, default=1600)
-    ap.add_argument("--pose", type=int, default=700)
+    ap.add_argument("--pose", type=int, default=900)
     ap.add_argument("--scenes", type=int, default=4)
     ap.add_argument("--distill", type=float, default=1.0)
-    ap.add_argument("--out", default="out/flagship_r02")
+    # The reference's lrate_pose (2e-5, pretrain_ggrt_stable.yaml:38-58) is
+    # tuned for 100k+-step schedules; at flagship scale (hundreds of pose
+    # steps) it cannot move IPO-Net off its init — the r3 smoke run left
+    # R_err at the identity baseline with it. 3e-4 matches the CPU
+    # rehearsal diag (tools/diag_pose_learn_v3.py).
+    ap.add_argument("--lrate_pose", type=float, default=3e-4)
+    ap.add_argument("--image", type=int, nargs=2, default=(64, 96))
+    ap.add_argument("--out", default="out/flagship_r03")
     ap.add_argument("--eval_limit", type=int, default=None)
+    ap.add_argument("--cache_ab", type=int, default=25,
+                    help="steps for the gaussian-cache on/off timing (0=skip)")
+    ap.add_argument("--artifact", default=None,
+                    help="override the repo-root artifact path")
     args = ap.parse_args()
+    defaults = all(
+        getattr(args, k) == ap.get_default(k)
+        for k in ("nerf", "pose", "scenes", "distill", "image", "eval_limit",
+                  "lrate_pose")
+    )
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import importlib.util
+    import numpy as np
 
-    spec = importlib.util.spec_from_file_location(
-        "graft_entry", ROOT / "__graft_entry__.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-
+    from ggrt_official_tpu import config as cfg_mod
     from ggrt_official_tpu.data.datasets import (
-        SyntheticPlanesDataset, SyntheticSceneSpec, collate_batch,
+        SyntheticPlanesDataset, collate_batch, flagship_scene_spec,
     )
     from ggrt_official_tpu.evaluation.harness import Evaluator
+    from ggrt_official_tpu.geometry.alignment import evaluate_camera_alignment
     from ggrt_official_tpu.training.loop import train_loop
     from ggrt_official_tpu.training.trainer import GGRtTrainer
 
+    import importlib.util
+
+    spec_mod = importlib.util.spec_from_file_location(
+        "graft_entry", ROOT / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec_mod)
+    spec_mod.loader.exec_module(mod)
+
     cfg = mod._tiny_cfg()
     cfg.train.use_pred_pose = False
+    cfg.train.sfm_valid_mask = True
     cfg.train.pose_depth_distill = args.distill
+    cfg.train.lrate_pose = args.lrate_pose
     cfg.train.n_tensorboard = 100
     cfg.train.n_checkpoint = 1000
     n_total = args.nerf + args.pose
     cfg.train.n_iters = n_total
 
-    # Rotated cameras + binary alphas: the default arc is pure translation
-    # (R_err trivially ~0 for any near-identity prediction) and soft alphas
-    # bias the photometric optimum away from GT poses (see
-    # SyntheticSceneSpec docstrings). look_at + wobble gives nearby views
-    # relative rotations of several degrees, so the identity-prediction
-    # baseline R_err is nonzero and beating it demonstrates learning.
     def spec(seed):
-        return SyntheticSceneSpec(
-            n_views=12, image_size=(64, 96), seed=seed, binary_alpha=True,
-            look_at_z=4.0, rot_wobble_deg=6.0, arc_scale=1.4,
-        )
+        return flagship_scene_spec(seed=seed, image_size=tuple(args.image))
 
     train_ds = [
         SyntheticPlanesDataset(spec(s), num_source_views=4)
@@ -105,61 +126,117 @@ def main():
     train_s = time.perf_counter() - t0
 
     evaluator = Evaluator(cfg, trainer.state.params)
-    result = {"train_steps": n_total, "train_s": round(train_s, 1),
-              "recipe": f"nerf_only {args.nerf} -> pose_only {args.pose} "
-                        f"(distill {args.distill}) on {args.scenes} scenes"}
-    arms = {
-        "heldout_views_pred_pose": (
-            SyntheticPlanesDataset(spec(0), mode="test", num_source_views=4),
-            True,
-        ),
-        "heldout_views_gt_pose": (
-            SyntheticPlanesDataset(spec(0), mode="test", num_source_views=4),
-            False,
-        ),
-        "heldout_scene_pred_pose": (
-            SyntheticPlanesDataset(spec(17), mode="test", num_source_views=4),
-            True,
-        ),
+    result = {
+        "train_steps": n_total,
+        "train_s": round(train_s, 1),
+        "recipe": f"nerf_only {args.nerf} -> pose_only {args.pose} "
+                  f"(distill {args.distill}, valid_mask) on {args.scenes} scenes",
+        "args": vars(args),
+        "scene_spec": dataclasses.asdict(spec(0)),
+        "is_default_flagship": defaults,
     }
 
-    # Identity-prediction baseline: the R/t error an untrained "predict
-    # zero relative pose" model scores on the same protocol. The trained
-    # model must land well below this for the eval to demonstrate learning.
-    import numpy as np
-
-    from ggrt_official_tpu.evaluation.metrics import evaluate_pose_errors
-
     def identity_baseline(ds):
+        """Unaligned R/t of broadcasting the target pose as every source
+        pose — the bar any trained pose branch must beat (no sim3 fit:
+        identical camera centers make Umeyama degenerate)."""
+        import jax.numpy as jnp
+
         rs, ts = [], []
         for i in range(len(ds)):
             b = collate_batch(ds[i])
-            tgt = np.asarray(b["camera"][0, -16:]).reshape(4, 4)
+            tgt = np.asarray(b["camera"][-16:] if b["camera"].ndim == 1
+                             else b["camera"][0, -16:]).reshape(4, 4)
             gt = np.asarray(b["context"]["extrinsics"][0])
-            pred = np.broadcast_to(tgt, gt.shape)
-            err = evaluate_pose_errors(pred, gt)
-            rs.append(float(err["R_error_mean_unaligned"]))
-            ts.append(float(err["t_error_mean_unaligned"]))
+            err = evaluate_camera_alignment(
+                jnp.broadcast_to(jnp.asarray(tgt), gt.shape), jnp.asarray(gt)
+            )
+            rs.append(float(err["R_error_mean"]))
+            ts.append(float(err["t_error_mean"]))
         return {"R_error_mean_unaligned": round(float(np.mean(rs)), 4),
                 "t_error_mean_unaligned": round(float(np.mean(ts)), 4)}
 
-    result["identity_pose_baseline"] = identity_baseline(arms["heldout_views_pred_pose"][0])
-    for name, (ds, pred) in arms.items():
+    # (spec, use_pred_pose, refine_steps): the *_refined arms add
+    # self-supervised test-time pose refinement (photometric warp loss on
+    # the input views only — the BARF/DBARF test-time-optimization lineage)
+    # on top of the IPO-Net prediction.
+    arms = {
+        "heldout_views_pred_pose": (spec(0), True, 0),
+        "heldout_views_pred_refined": (spec(0), True, 80),
+        "heldout_views_gt_pose": (spec(0), False, 0),
+        "heldout_scene_pred_pose": (spec(17), True, 0),
+        "heldout_scene_pred_refined": (spec(17), True, 80),
+        "heldout_scene_gt_pose": (spec(17), False, 0),
+    }
+    baselines = {}
+    out_path = Path(args.out) / "EVAL_FLAGSHIP.json"
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    artifact = Path(args.artifact) if args.artifact else ROOT / "EVAL_FLAGSHIP_r03.json"
+
+    for name, (sp, pred, refine) in arms.items():
+        ds = SyntheticPlanesDataset(sp, mode="test", num_source_views=4)
+        key = "scene17" if sp.seed == 17 else "scene0"
+        if key not in baselines:
+            baselines[key] = identity_baseline(ds)
+        result[f"identity_pose_baseline_{key}"] = baselines[key]
         try:
             summary = evaluator.evaluate_dataset(
                 ds, out_dir=f"{args.out}/eval_{name}", limit=args.eval_limit,
-                use_pred_pose=pred,
+                use_pred_pose=pred, refine_steps=refine,
             )
             result[name] = {
-                k: round(float(v), 4)
+                k: (round(float(v), 4) if isinstance(v, (int, float)) else v)
                 for k, v in summary.items()
-                if isinstance(v, (int, float))
+                if isinstance(v, (int, float)) or k.startswith("lpips")
             }
         except Exception as e:  # noqa: BLE001 — keep the other arms' results
             result[name] = {"error": str(e)[-300:]}
         print(name, json.dumps(result[name]), flush=True)
-        with open(ROOT / "EVAL_FLAGSHIP_r02.json", "w") as f:
+        with open(out_path, "w") as f:
             json.dump(result, f, indent=2)
+
+    # Gaussian-cache A/B (VERDICT r2 #8): steady-state per-step wall time
+    # with the cross-iteration cache on vs off, same scene stream.
+    if args.cache_ab > 0:
+        from ggrt_official_tpu.training.trainer_cached import CachedGGRtTrainer
+
+        def timed_steps(tr, tag):
+            tr.init_full(collate_batch(train_ds[0][0]))
+            tr.state = trainer.state
+            seq = [collate_batch(train_ds[0][i % len(train_ds[0])])
+                   for i in range(args.cache_ab)]
+            # Warm-up pass over the WHOLE sequence: the cached trainer
+            # compiles one graph per distinct missing-pair count, so a
+            # single-step warm-up leaves compiles inside the timed window
+            # (observed: 121 s/step through the tunnel).
+            for b in seq:
+                tr.train_iteration(b, machine="nerf_only")
+            if hasattr(tr, "hits"):
+                tr.hits = tr.misses = 0
+            t0 = time.perf_counter()
+            for b in seq:
+                tr.train_iteration(b, machine="nerf_only")
+            dt = (time.perf_counter() - t0) / len(seq) * 1e3
+            extra = {}
+            if hasattr(tr, "hits"):
+                extra = {"hits": tr.hits, "misses": tr.misses}
+            return {"step_ms": round(dt, 2), **extra}
+
+        result["cache_ab"] = {
+            "off": timed_steps(GGRtTrainer(cfg), "off"),
+            "on": timed_steps(CachedGGRtTrainer(cfg), "on"),
+        }
+        print("cache_ab", json.dumps(result["cache_ab"]), flush=True)
+
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    if defaults or args.artifact:
+        with open(artifact, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"artifact written: {artifact}", flush=True)
+    else:
+        print(f"non-default args: artifact NOT written (result at {out_path})",
+              flush=True)
     print(json.dumps(result, indent=2))
 
 
