@@ -88,7 +88,11 @@ def measure(profile_dir=None):
         max_per_tile=1024,
         max_dup=int(_os.environ.get("GGRT_BENCH_MAX_DUP", "8")),
         tile_chunk=16,
-        binning_mode=_os.environ.get("GGRT_BENCH_BINNING", "sort"),
+        # banked binning (round 3): one per-gaussian sort instead of the
+        # g*max_dup pair sort — 45.8 -> 42.9 ms end-to-end; render quality
+        # 48.9 dB vs effectively-uncapped on this population (sort mode:
+        # 56.4 dB; both above the 45 dB bar of tests/test_rasterizer.py).
+        binning_mode=_os.environ.get("GGRT_BENCH_BINNING", "banked"),
     )
 
     # --- correctness gate (VERDICT weak#6): pallas vs XLA compositor on the

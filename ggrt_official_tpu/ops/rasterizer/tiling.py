@@ -480,8 +480,18 @@ def bin_gaussians_banked(
     # already drops; quality is gated by tests/test_rasterizer.py and the
     # tail mass is reported by binning_overflow_stats callers via
     # `stream_tail_entries` below.
-    budgets = [max(K >> (dy_ + dx_), K // 8) for dy_, dx_ in zip(dy_l, dx_l)]
-    budgets[0] = K
+    # Dilution measured on the bench population (tools /tmp diag, round 3):
+    # (0,0) 100% of stream entries valid, (1,0) 74%, (2,0) 10%, (0,1) 6%,
+    # the rest <5% — so the row-below stream earns a full-K budget and the
+    # side/deep streams taper hard.
+    def _budget(dy_, dx_):
+        if dx_ == 0 and dy_ <= 1:
+            return K
+        if dx_ == 0 and dy_ == 2 or (dx_ == 1 and dy_ == 0):
+            return K // 4
+        return K // 8
+
+    budgets = [_budget(dy_, dx_) for dy_, dx_ in zip(dy_l, dx_l)]
 
     q_cols, gid_cols = [], []
     tail = jnp.zeros((num_tiles,), jnp.int32)

@@ -335,3 +335,44 @@ class TestCapPolicy:
         mse = float(jnp.mean((img_rec - img_full) ** 2))
         psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
         assert psnr >= 45.0, (kind, rec, psnr)
+
+
+class TestBankedBinning:
+    """bin_gaussians_banked == bin_gaussians whenever nothing truncates:
+    small-extent population (windows coincide with the adaptive ones) and a
+    K large enough that no stream hits its budget. Render-quality at
+    truncating K is covered on-device (BENCH_NOTES round 3: 48.9 dB vs
+    uncapped at the bench population)."""
+
+    def test_matches_sort_binning_untruncated(self):
+        from ggrt_official_tpu.ops.rasterizer import tiling
+        from ggrt_official_tpu.ops.rasterizer.projection import project_gaussians
+
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 6)
+        n = 4000
+        z = jax.random.uniform(ks[2], (n,), minval=1.5, maxval=8.0)
+        means = jnp.stack(
+            [
+                jax.random.uniform(ks[0], (n,), minval=-0.5, maxval=0.5) * z,
+                jax.random.uniform(ks[1], (n,), minval=-0.35, maxval=0.35) * z,
+                z,
+            ],
+            -1,
+        )
+        scales = jax.random.uniform(ks[3], (n, 3), minval=0.005, maxval=0.02)
+        cov = jnp.eye(3)[None] * scales[..., None] ** 2
+        sh = jax.random.normal(ks[4], (n, 3, 4)) * 0.3
+        opa = jax.random.uniform(ks[5], (n,), minval=0.1, maxval=0.9)
+        intr = jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]])
+        shape = (64, 256)
+        pg = project_gaussians(
+            means, cov, sh, opa, jnp.eye(4), intr,
+            jnp.float32(1.0), jnp.float32(25.0), shape,
+        )
+        # K large enough that even the K//8-budget side streams cover
+        # their raw segment lengths (max group ~500 on this scene).
+        a = jax.jit(lambda pg: tiling.bin_gaussians(pg, shape, 8, 8192))(pg)
+        b = jax.jit(lambda pg: tiling.bin_gaussians_banked(pg, shape, 8, 8192))(pg)
+        assert bool(jnp.all(a.counts == b.counts))
+        assert bool(jnp.all(a.gaussian_ids == b.gaussian_ids))
