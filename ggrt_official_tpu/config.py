@@ -150,6 +150,19 @@ class TrainCfg:
     # semantics; ON removes the black-pixel bias that let round-2 pose
     # translations drift unbounded on synthetic scenes).
     sfm_valid_mask: bool = False
+    # Smooth boundary penalty on out-of-frame warp coordinates (see
+    # losses/photometric.py oob_weight) — restores the inward gradient that
+    # valid_mask removes. 0 = off (reference parity).
+    sfm_oob_weight: float = 0.0
+    # Let the rgb render loss backprop into the injected predicted poses
+    # through the rasterizer's camera gradients (our Pallas VJP computes
+    # exact dExtrinsics — the capability the reference's modified CUDA
+    # rasterizer advertises but its stable trainer detaches away,
+    # train_ggrt_stable.py:106). OFF = reference parity (detach). With it
+    # ON in pose_only/joint + use_pred_pose, IPO-Net receives a dense,
+    # well-conditioned pose gradient from the render instead of relying
+    # solely on the flat photometric warp signal.
+    pose_render_grad: bool = False
     # State-machine schedule (train_ggrt_stable.py:83 runs 'joint' live; the
     # commented staged schedule at :78-82 is pose_only -> nerf_only -> joint).
     machine: str = "joint"

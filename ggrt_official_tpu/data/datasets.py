@@ -259,6 +259,13 @@ def flagship_scene_spec(seed: int = 0, image_size=(64, 96), n_views: int = 12):
     """
     return SyntheticSceneSpec(
         n_views=n_views, image_size=image_size, seed=seed, binary_alpha=True,
+        # This exact geometry (6° wobble at 2.3 rad/view, arc 1.4, z 4)
+        # is the round-3-validated convergent configuration: direct Adam
+        # from identity reaches R ~2° on it. High-frequency wobble matters
+        # — it DECORRELATES adjacent views' rotations, breaking the
+        # common-mode rotation-vs-translation valley that trapped every
+        # low-frequency variant (round-3 seed sweeps; low-freq failed even
+        # at 4.6° baselines).
         look_at_z=4.0, rot_wobble_deg=6.0, arc_scale=1.4,
         texture_octaves=4, focal_factor=0.7, plane_depths=(1.5, 8.0),
         plane_span="cover",
@@ -345,10 +352,15 @@ class SyntheticPlanesDataset:
                 # pose prediction on cameras the network has memorized
                 # (observed round 3: identical identity baselines across
                 # seeds). Separate RandomState keeps textures byte-stable.
+                # Fixed base phases + a small BOUNDED per-seed jitter:
+                # identical cameras across seeds would let a constant-output
+                # pose net ace the eval, while free-phase draws swung
+                # per-seed relative rotations far outside the photometric
+                # basin (round-3 seed sweeps).
                 prng = np.random.RandomState(spec.seed + 1000)
-                p1, p2 = prng.uniform(0, 2 * np.pi, 2)
-                yaw = a * np.sin(2.3 * i + 0.7 + p1)
-                pitch = 0.6 * a * np.cos(1.7 * i + 0.3 + p2)
+                j1, j2 = prng.uniform(-0.15, 0.15, 2)
+                yaw = a * np.sin(2.3 * i + 0.7 + j1)
+                pitch = 0.6 * a * np.cos(1.7 * i + 0.3 + j2)
                 cy, sy = np.cos(yaw), np.sin(yaw)
                 cp, sp = np.cos(pitch), np.sin(pitch)
                 ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])

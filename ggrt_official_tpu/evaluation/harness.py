@@ -56,7 +56,7 @@ class Evaluator:
         def loss_fn(vec):
             return photometric_decay_loss(
                 tgt, refs, inv_depth[None], K, refK, vec[None, :, None, :],
-                valid_mask=True,
+                valid_mask=True, oob_weight=0.1,
             )["loss"]
 
         def body(carry, _):
@@ -65,8 +65,18 @@ class Evaluator:
             u, st = opt.update(g, st, vec)
             return (optax.apply_updates(vec, u), st), None
 
-        (vec, _), _ = jax.lax.scan(body, (vec0, opt.init(vec0)), length=steps)
-        return vec
+        def run(v0):
+            (vec, _), _ = jax.lax.scan(body, (v0, opt.init(v0)), length=steps)
+            return vec
+
+        # Refine from BOTH the network prediction and identity, keep the
+        # lower-loss result: a drifted prediction (outside every basin)
+        # would otherwise pin the refinement where it started.
+        vec_a = run(vec0)
+        vec_b = run(jnp.zeros_like(vec0))
+        return jax.lax.cond(
+            loss_fn(vec_a) <= loss_fn(vec_b), lambda: vec_a, lambda: vec_b
+        )
 
     def _pose_impl(self, params, rgb, src_rgbs, camera, src_cameras, min_d, max_d):
         inv_depths, rel_poses, _, _ = self.model.apply(

@@ -39,7 +39,7 @@ def warp_ref_image(inv_depth, ref_image, K, ref_K, pose_mat, return_mask=False):
     valid = (
         (jnp.abs(coords[..., 0]) <= 1.0) & (jnp.abs(coords[..., 1]) <= 1.0)
     )[:, None].astype(warped.dtype)
-    return warped, valid
+    return warped, valid, coords
 
 
 def _photometric_map(t_est, images, ssim_weight, C1, C2, clip):
@@ -75,6 +75,7 @@ def photometric_decay_loss(
     gamma: float = 0.85,
     automask: bool = True,
     valid_mask: bool = False,
+    oob_weight: float = 0.0,
 ) -> dict:
     """Returns {'loss': scalar, 'metrics': {...}} (ref forward :412-516).
 
@@ -88,19 +89,28 @@ def photometric_decay_loss(
     flagship: unaligned t_err 17.7 vs 0.25 identity baseline). With
     valid_mask=True, out-of-frame residuals are excluded: they cannot win
     the min-reduce, and pixels with no valid residual at all are dropped
-    from the mean."""
+    from the mean.
+
+    oob_weight (TPU-build extension, 0 = off/parity): valid_mask alone
+    makes out-of-frame warps UNPUNISHED — once a pose pushes everything
+    out of frame the loss collapses to the pose-independent automask floor
+    and translations random-walk (round-3 smoke2: unaligned t_err drifted
+    to 4.1 vs a 0.25 identity baseline, sfm flat at the ~0.8 automask
+    level). A smooth boundary penalty mean(relu(|xy|-1)^2) on the warp
+    coordinates restores an inward gradient everywhere outside the frame."""
     n_iters = inv_depths.shape[0]
     nv = ref_imgs.shape[0]
     poses = poses[0]  # (nv, n_iters, 6)
     BIG = jnp.asarray(1e4, image.dtype)
 
     per_iter_losses = []
+    oob_terms = []
     for i in range(n_iters):
         residuals = []
         valids = []
         for j in range(nv):
             pose_mat = pose_from_vec(poses[j, i][None])
-            warped, valid = warp_ref_image(
+            warped, valid, coords = warp_ref_image(
                 inv_depths[i], ref_imgs[j][None], K, ref_Ks[j][None], pose_mat,
                 return_mask=True,
             )
@@ -108,6 +118,10 @@ def photometric_decay_loss(
             if valid_mask:
                 res = jnp.where(valid > 0.5, res, BIG)
                 valids.append(valid)
+            if oob_weight > 0.0:
+                oob_terms.append(
+                    jnp.mean(jnp.maximum(jnp.abs(coords) - 1.0, 0.0) ** 2)
+                )
             residuals.append(res)
             if automask:
                 residuals.append(
@@ -131,6 +145,10 @@ def photometric_decay_loss(
 
     metrics = {"photometric_loss": photo}
     loss = photo
+    if oob_weight > 0.0:
+        oob = oob_weight * jnp.mean(jnp.stack(oob_terms))
+        metrics["oob_loss"] = oob
+        loss = loss + oob
     if smooth_weight > 0.0:
         smooth_terms = []
         for i in range(n_iters):

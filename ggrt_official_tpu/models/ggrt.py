@@ -84,6 +84,7 @@ class GGRtModel(nn.Module):
             sfm = photometric_decay_loss(
                 tgt, refs, out.inv_depths, target_K, ref_K, out.rel_poses,
                 valid_mask=self.cfg.train.sfm_valid_mask,
+                oob_weight=self.cfg.train.sfm_oob_weight,
             )
         return out.inv_depths, out.rel_poses[0], sfm, out.fmap
 

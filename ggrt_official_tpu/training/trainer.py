@@ -36,16 +36,22 @@ from . import state as state_lib
 from .state import TrainState
 
 
-def _inject_predicted_poses(batch, rel_poses):
+def _inject_predicted_poses(batch, rel_poses, detach: bool = True):
     """Replace context extrinsics with poses derived from the predicted
-    relative poses (train_ggrt_stable.py:102-106 + projection.py:44-64)."""
+    relative poses (train_ggrt_stable.py:102-106 + projection.py:44-64).
+
+    detach=True matches the reference's `.detach()` (:106). detach=False
+    (cfg.train.pose_render_grad) keeps the graph so the rgb loss reaches
+    IPO-Net through the rasterizer's exact camera gradients."""
     target_pose = batch["camera"][0, -16:].reshape(4, 4)
     nv = batch["src_cameras"].shape[1]
     context_poses = relative_to_source_c2w(
         jnp.broadcast_to(target_pose, (nv, 4, 4)), rel_poses[:, -1, :]
     )
+    if detach:
+        context_poses = jax.lax.stop_gradient(context_poses)
     new_context = dict(batch["context"])
-    new_context["extrinsics"] = jax.lax.stop_gradient(context_poses[None])
+    new_context["extrinsics"] = context_poses[None]
     return {**batch, "context": new_context}
 
 
@@ -75,8 +81,13 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
         inv_depth_prior = jax.lax.stop_gradient(inv_depths[-1]).reshape(-1, 1)
 
         b = batch
-        if cfg.train.use_pred_pose:
-            b = _inject_predicted_poses(batch, rel_poses)
+        # No injection in nerf_only: G-3DGS pretraining must see dataset
+        # poses, not an untrained predictor's (the reference only ever runs
+        # use_pred_pose in its 'joint' pretrain, train_ggrt_stable.py:83).
+        if cfg.train.use_pred_pose and machine_id != state_lib.STATE_NERF_ONLY:
+            b = _inject_predicted_poses(
+                batch, rel_poses, detach=not cfg.train.pose_render_grad
+            )
 
         ret, gt = model.apply(
             params, b, step, deterministic=False, rngs={"sample": rng},
@@ -103,6 +114,11 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
                 inv_depths, rend[None, None], min_d, max_d
             )
             pose_loss = sfm_loss + cfg.train.pose_depth_distill * distill
+        if cfg.train.pose_render_grad and cfg.train.use_pred_pose:
+            # rgb loss reaches IPO-Net through the rasterizer's camera
+            # gradients (see config.pose_render_grad); in pose_only the
+            # gaussian branch's grads are masked by the state machine.
+            pose_loss = pose_loss + coarse_loss
         loss_all = jnp.where(
             mid == state_lib.STATE_JOINT,
             compose_joint_loss(sfm_loss, coarse_loss, step, cfg.train.joint_coefficient),
@@ -215,8 +231,10 @@ class GGRtTrainer:
             inv_depth_prior = jax.lax.stop_gradient(inv_depths[-1]).reshape(-1, 1)
 
             b = batch
-            if cfg.train.use_pred_pose:
-                b = _inject_predicted_poses(batch, rel_poses)
+            if cfg.train.use_pred_pose and machine != "nerf_only":
+                b = _inject_predicted_poses(
+                    batch, rel_poses, detach=not cfg.train.pose_render_grad
+                )
 
             ret, gt = self.model.apply(
                 params, b, state.step, deterministic=False,
@@ -243,6 +261,8 @@ class GGRtTrainer:
                 rend = jax.lax.stop_gradient(ret["depth"][0, 0])   # (h, w)
                 distill = sup_depth_loss(inv_depths, rend[None, None], min_d, max_d)
                 pose_loss = sfm_loss + cfg.train.pose_depth_distill * distill
+            if cfg.train.pose_render_grad and cfg.train.use_pred_pose:
+                pose_loss = pose_loss + coarse_loss  # see config.pose_render_grad
             loss_all = jnp.where(
                 machine_id == state_lib.STATE_JOINT,
                 compose_joint_loss(
@@ -314,7 +334,9 @@ class GGRtFinetuneTrainer(GGRtTrainer):
 
         b = batch
         if cfg.train.use_pred_pose:
-            b = _inject_predicted_poses(batch, rel_poses)
+            b = _inject_predicted_poses(
+                batch, rel_poses, detach=not cfg.train.pose_render_grad
+            )
 
         # ---- Deferred BP for the gaussian branch ----
         # 1. Full-image forward without grad; pixel-gradient image.

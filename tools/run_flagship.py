@@ -95,8 +95,15 @@ def main():
     spec_mod.loader.exec_module(mod)
 
     cfg = mod._tiny_cfg()
-    cfg.train.use_pred_pose = False
+    # use_pred_pose + pose_render_grad: in the pose stage the gaussian
+    # branch renders FROM the predicted poses and the rgb loss backprops
+    # into IPO-Net through the rasterizer's camera gradients (the gaussian
+    # branch itself stays frozen via the state-machine grad masks).
+    # nerf_only ignores use_pred_pose by design (trainer.py).
+    cfg.train.use_pred_pose = True
+    cfg.train.pose_render_grad = True
     cfg.train.sfm_valid_mask = True
+    cfg.train.sfm_oob_weight = 0.1
     cfg.train.pose_depth_distill = args.distill
     cfg.train.lrate_pose = args.lrate_pose
     cfg.train.n_tensorboard = 100
