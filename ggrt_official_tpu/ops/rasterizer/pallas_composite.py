@@ -352,16 +352,28 @@ def _gather_rows_fwd(comp, ids):
     return comp[jnp.maximum(ids, 0)], (ids, comp.shape[0])
 
 
+_SCATTER_IMPL = "segsum"  # "segsum" (sorted pallas segment-sum) | "xla"
+
+
 def _gather_rows_bwd(res, dgath):
     ids, g = res
     t, K, C = dgath.shape
     idx = jnp.where(ids >= 0, ids, g).reshape(-1)
-    dcomp = jnp.zeros((g + 1, C), dgath.dtype)
-    dcomp = dcomp.at[idx].add(dgath.reshape(t * K, C), mode="drop")
+    if _SCATTER_IMPL == "segsum":
+        # Sorted-rows pallas segment-sum: ~1.5 ms vs 10.9 ms for the XLA
+        # scatter at bench scale (segment_sum.py has the why).
+        from .segment_sum import scatter_add_rows
+
+        dcomp = scatter_add_rows(
+            idx, dgath.reshape(t * K, C), jnp.zeros((g, C), dgath.dtype)
+        )
+    else:
+        full = jnp.zeros((g + 1, C), dgath.dtype)
+        dcomp = full.at[idx].add(dgath.reshape(t * K, C), mode="drop")[:g]
     import numpy as np
 
     f0 = np.zeros(ids.shape, jax.dtypes.float0)
-    return dcomp[:g], f0
+    return dcomp, f0
 
 
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

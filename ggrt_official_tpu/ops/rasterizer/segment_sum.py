@@ -1,0 +1,200 @@
+"""Sorted segment-sum scatter-add for the record-gather pullback.
+
+The records VJP must push dL/d(gathered rows) — one 9-float row per live
+(tile, slot) list entry — back onto the per-gaussian comp array:
+
+    dcomp = zeros((g, C)).at[ids].add(dgath)          # XLA scatter-add
+
+XLA lowers that scatter on TPU as a serialized per-row loop: measured
+10.9 ms for ~143k rows at bench scale (~76 ns/row — see BENCH_NOTES.md
+round 3), independent of sortedness/uniqueness hints. The CUDA reference
+gets this for free with atomics in its backward kernel
+(/root/reference: external diff-gaussian-rasterization, SURVEY.md §2.1
+backward step); TPU has no atomics, so we restructure:
+
+  1. sort rows by gaussian id, carrying the C value columns as sort
+     payloads (payload count is ~free in the TPU sort — comparator passes
+     dominate; BENCH_NOTES) — this *replaces* both the scatter and any
+     gather: the values arrive in gid order directly;
+  2. bucket boundaries per BLOCK of output rows via one small searchsorted
+     (num_blocks + 1 queries, not per-gaussian);
+  3. a Pallas kernel walks each block's contiguous row range (manual
+     dynamic-offset DMA from HBM) and accumulates with a one-hot matmul
+     onto the block's output tile. One-hot matmuls are exact in f32 even
+     through Mosaic's split-precision lowering: the 0/1 factor is exact in
+     every bf16 split term, so the product returns the value's splits
+     unrounded and the f32 accumulator adds them back losslessly.
+
+Layout: Mosaic requires HBM slices to be 128-aligned along the minor
+(lane) dimension, so everything keeps the ROW axis minor — ids (1, N),
+values transposed (C16, N), output (nb, C16, B) — and every dynamic
+offset is rounded down to 128 (the head rows mask out by id range).
+
+Rows with id == num_rows act as a dump (dropped) — callers map dead list
+entries there. Cost at bench scale: ~1 ms sort + ~0.3 ms searchsorted +
+sub-ms kernel, vs 10.9 ms for the XLA scatter.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_B = 2048     # output rows (gaussians) per block
+_R = 256      # sorted input rows per DMA chunk
+_LANES = 16   # value columns padded to one sublane group
+
+
+def _kernel(starts_ref, ids_hbm, vals_hbm, out_ref, ids_buf, vals_buf, sems):
+    b = pl.program_id(0)
+    lo_raw = starts_ref[b]
+    hi = starts_ref[b + 1]
+    # Align the window start down to the DMA lane granularity; the head
+    # rows this re-reads belong to block b-1 and mask out via lg < 0.
+    lo = (lo_raw // 128) * 128
+    nch = (hi - lo + _R - 1) // _R
+    base = b * _B
+
+    out_ref[0] = jnp.zeros((_LANES, _B), jnp.float32)
+
+    def dmas(i, slot):
+        off = lo + i * _R
+        return (
+            pltpu.make_async_copy(
+                ids_hbm.at[:, pl.ds(off, _R)], ids_buf.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                vals_hbm.at[:, pl.ds(off, _R)], vals_buf.at[slot], sems.at[slot, 1]
+            ),
+        )
+
+    def start(i, slot):
+        ci, cv = dmas(i, slot)
+        ci.start()
+        cv.start()
+
+    @pl.when(nch > 0)
+    def _():
+        start(0, 0)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        # Double buffering: kick off chunk i+1 before waiting on chunk i.
+        @pl.when(i + 1 < nch)
+        def _():
+            start(i + 1, 1 - slot)
+
+        ci, cv = dmas(i, slot)
+        ci.wait()
+        cv.wait()
+        lg = ids_buf[slot] - base                    # (1, R) local row ids
+        sel = (lg >= 0) & (lg < _B)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_B, _R), 0)
+        onehot = jnp.where((rows == lg) & sel, 1.0, 0.0)
+        # (C16, R) x (B, R) contracted over R -> (C16, B); the 0/1 right
+        # factor keeps this exact in f32 (see module docstring).
+        out_ref[0] += jax.lax.dot_general(
+            vals_buf[slot], onehot,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nch, body, 0)
+
+
+def _pallas_available() -> bool:
+    """Trace-time check: the compiled kernel needs a TPU backend, OR the
+    caller is inside force_tpu_interpret_mode (tests on CPU)."""
+    from jax._src import config as jax_config
+
+    if jax.default_backend() == "tpu":
+        return True
+    try:
+        return (
+            jax_config.pallas_tpu_interpret_mode_context_manager.value
+            is not None
+        )
+    except AttributeError:  # jax internals moved — be conservative
+        return False
+
+
+@partial(jax.custom_batching.custom_vmap)
+def scatter_add_rows(ids: jnp.ndarray, vals: jnp.ndarray, out_zeros: jnp.ndarray):
+    """`out_zeros.at[ids].add(vals)` with ids in [0, g]; id == g drops.
+
+    Args:
+      ids:  (N,) int32 target row per input row, in [0, g] (g = dump).
+      vals: (N, C) float32 rows to accumulate, C <= _LANES.
+      out_zeros: (g, C) zeros — passed as an array so the output shape is
+        a pytree leaf (custom_vmap needs it); only its shape/dtype is used.
+    Returns:
+      (g, C) float32 accumulated rows.
+    """
+    n, c = vals.shape
+    g = out_zeros.shape[0]
+    if not _pallas_available():
+        # CPU/GPU without interpret mode (e.g. the multichip dryrun's
+        # virtual-CPU train step): XLA scatter-add, same semantics.
+        full = jnp.zeros((g + 1, c), vals.dtype)
+        return full.at[jnp.minimum(ids, g)].add(vals, mode="drop")[:g]
+    nb = -(-(g + 1) // _B)
+    # Pad the row count so every chunked DMA window [lo, lo + nch*R) stays
+    # in bounds (lo is aligned down by < R; hi <= N).
+    n_pad = -(-n // _R) * _R + 2 * _R
+
+    operands = (ids,) + tuple(vals[:, j] for j in range(c))
+    sorted_ = jax.lax.sort(operands, num_keys=1)
+    ids_s = jnp.pad(sorted_[0], (0, n_pad - n), constant_values=nb * _B)
+    vals_s = jnp.stack(sorted_[1:], axis=0)                    # (c, n)
+    vals_s = jnp.pad(vals_s, ((0, _LANES - c), (0, n_pad - n)))
+
+    bounds = jnp.arange(nb + 1, dtype=jnp.int32) * _B
+    starts = jnp.searchsorted(ids_s[:n], bounds, side="left").astype(jnp.int32)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, _LANES, _B), lambda b, *_: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, _R), jnp.int32),
+                pltpu.VMEM((2, _LANES, _R), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, _LANES, _B), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * _B * _LANES,
+            bytes_accessed=n_pad * (_LANES + 1) * 4 + nb * _B * _LANES * 4,
+            transcendentals=0,
+        ),
+    )(starts, ids_s[None, :], vals_s)
+    # (nb, C16, B) -> (nb*B, C16) -> (g, c)
+    return out.transpose(0, 2, 1).reshape(nb * _B, _LANES)[:g, :c]
+
+
+@scatter_add_rows.def_vmap
+def _scatter_add_rows_vmap(axis_size, in_batched, ids, vals, out_zeros):
+    """Sequential per-element map: the kernel's manual DMA + scalar
+    prefetch don't compose with a mapped pallas grid dimension."""
+    ib, vb, ob = in_batched
+
+    def one(i):
+        a = ids[i] if ib else ids
+        v = vals[i] if vb else vals
+        o = out_zeros[i] if ob else out_zeros
+        return scatter_add_rows(a, v, o)
+
+    res = jax.lax.map(one, jnp.arange(axis_size))
+    return res, True

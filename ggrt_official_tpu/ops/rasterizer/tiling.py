@@ -404,6 +404,7 @@ def bin_gaussians_banked(
     max_per_tile: int = 1024,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
+    merge: str = "flat",
 ) -> TileBinning:
     """Sort-free-ish binning: ONE per-gaussian sort instead of the
     (g · max_dup)-entry global pair sort.
@@ -443,12 +444,23 @@ def bin_gaussians_banked(
     q = _quantize_depth(pg.depth, visible, qbits)
     group = jnp.where(visible, y0w * ntx + x0w, num_tiles).astype(jnp.int32)
     key = (group << qbits) | q
-    # Payloads: gid, and the packed window shape (payload count is ~free in
-    # the TPU sort — comparator passes dominate, see BENCH_NOTES).
+    # Payloads: gid and the packed window shape. The kernel path packs
+    # both into ONE int32 (gid | win<<27) so each slot window is two DMAs.
     win_pack = (nxw | (nyw << 2)).astype(jnp.int32)
-    key_sorted, gid_sorted, win_sorted = jax.lax.sort(
-        (key, jnp.arange(g, dtype=jnp.int32), win_pack), num_keys=1
-    )
+    use_kernel = merge in ("auto", "flat") and g < (1 << 27)
+    if use_kernel:
+        from .banked_gather import _ALIGN, INVALID_GID, gather_streams
+        from .segment_sum import _pallas_available
+
+        use_kernel = _pallas_available()
+    if use_kernel:
+        gidwin = jnp.arange(g, dtype=jnp.int32) | (win_pack << 27)
+        key_sorted, gw_sorted = jax.lax.sort((key, gidwin), num_keys=1)
+        gid_sorted = win_sorted = None
+    else:
+        key_sorted, gid_sorted, win_sorted = jax.lax.sort(
+            (key, jnp.arange(g, dtype=jnp.int32), win_pack), num_keys=1
+        )
     q_sorted = key_sorted & ((1 << qbits) - 1)
 
     grp_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
@@ -493,6 +505,43 @@ def bin_gaussians_banked(
 
     budgets = [_budget(dy_, dx_) for dy_, dx_ in zip(dy_l, dx_l)]
 
+    if use_kernel:
+        # Pallas contiguous-DMA stream gather (banked_gather.py): the XLA
+        # gather this replaces was 10.6 ms of banked's 13.2 at bench scale
+        # (HBM-latency-bound scalar gathers); the streams are contiguous
+        # runs, so aligned window DMAs + absolute-position masking get the
+        # same entries at bandwidth. Bit-identical lists: validity and
+        # (q, gid) order are unchanged, the extra alignment columns carry
+        # back-sorting sentinels only.
+        L_vec = jnp.asarray(budgets, jnp.int32)[None, :]
+        eff = jnp.where(grp_ok, jnp.minimum(seg_total, L_vec), 0)
+        lo = seg_lo
+        hi = seg_lo + eff
+        al = lo // _ALIGN      # kernel multiplies back (provable alignment)
+        max_w = max(budgets) + _ALIGN
+        n_pad = -(-(g + max_w) // _ALIGN) * _ALIGN
+        key_p = jnp.pad(key_sorted, (0, n_pad - g))
+        gw_p = jnp.pad(gw_sorted, (0, n_pad - g), constant_values=INVALID_GID)
+        packed_all, gid_all = gather_streams(
+            key_p, gw_p, al, lo, hi,
+            budgets=budgets, dydx=list(zip(dy_l, dx_l)),
+            qbits=qbits, num_tiles=num_tiles,
+        )
+        n_valid = jnp.sum((gid_all != INVALID_GID).astype(jnp.int32), axis=1)
+        ncol = packed_all.shape[1]
+        _, gid_flat = jax.lax.sort(
+            (packed_all.reshape(-1), gid_all.reshape(-1)), num_keys=2
+        )
+        gid_fin = gid_flat.reshape(num_tiles, ncol)
+        counts = jnp.minimum(n_valid, K)
+        ids = jnp.where(
+            jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None],
+            gid_fin[:, :K], -1,
+        )
+        return TileBinning(
+            gaussian_ids=ids, counts=counts, num_tiles_y=nty, num_tiles_x=ntx,
+        )
+
     q_cols, gid_cols = [], []
     tail = jnp.zeros((num_tiles,), jnp.int32)
     for s in range(S):
@@ -512,14 +561,33 @@ def bin_gaussians_banked(
         q_cols.append(jnp.where(valid, q_sorted[pos], (1 << qbits) - 1))
         gid_cols.append(jnp.where(valid, gid_at, jnp.int32(0x7FFFFFFF)))
 
+    n_valid = sum(
+        jnp.sum((gc != 0x7FFFFFFF).astype(jnp.int32), axis=1) for gc in gid_cols
+    )
     q_all = jnp.concatenate(q_cols, axis=1)       # (t, sum L_s)
     gid_all = jnp.concatenate(gid_cols, axis=1)
+    if merge in ("flat", "auto"):
+        # One FLAT sort instead of the per-tile batched 2-key sort, which
+        # XLA executes ~6x slower per element (8.8 of banked's 13.2 ms at
+        # bench scale — tools/diag_banked.py bisect; a bitonic
+        # compare-exchange network was tried and is slower still, 17.5 ms,
+        # its small-stride stages force lane relayouts). Because every
+        # tile has the SAME static column count, packing the tile index
+        # above the depth key keeps each tile's entries contiguous at
+        # static offsets after one global sort — bit-identical lists
+        # (strict per-tile (q, gid) order), ~2 ms.
+        ncol = q_all.shape[1]
+        tile_col = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, ncol), 0)
+        packed_all = ((tile_col << qbits) | q_all).reshape(-1)
+        _, gid_flat = jax.lax.sort(
+            (packed_all, gid_all.reshape(-1)), num_keys=2
+        )
+        gid_fin = gid_flat.reshape(num_tiles, ncol)
+    else:
+        # Per-tile 2-key sort (depth, gid) — identical tie-breaking to the
+        # packed global sort (stable by gaussian id).
+        _, gid_fin = jax.lax.sort((q_all, gid_all), dimension=1, num_keys=2)
 
-    # Per-tile merge: 2-key sort (depth, gid) — identical tie-breaking to
-    # the packed global sort (stable by gaussian id).
-    q_fin, gid_fin = jax.lax.sort((q_all, gid_all), dimension=1, num_keys=2)
-
-    n_valid = jnp.sum((gid_all != 0x7FFFFFFF).astype(jnp.int32), axis=1)
     counts = jnp.minimum(n_valid, K)
     ids = jnp.where(
         jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None],

@@ -376,3 +376,46 @@ class TestBankedBinning:
         b = jax.jit(lambda pg: tiling.bin_gaussians_banked(pg, shape, 8, 8192))(pg)
         assert bool(jnp.all(a.counts == b.counts))
         assert bool(jnp.all(a.gaussian_ids == b.gaussian_ids))
+
+
+class TestBankedFlatMerge:
+    """The flat packed-key merge sort must be bit-identical to the
+    per-tile 2-key lax.sort merge on a TRUNCATING population (budgets and
+    K exceeded) — per-tile (q, gid) order is strict, so any deviation is
+    a packing bug."""
+
+    def test_flat_equals_sort_merge(self):
+        from ggrt_official_tpu.ops.rasterizer import tiling
+        from ggrt_official_tpu.ops.rasterizer.projection import project_gaussians
+
+        key = jax.random.PRNGKey(7)
+        ks = jax.random.split(key, 6)
+        n = 20000
+        z = jax.random.uniform(ks[2], (n,), minval=1.2, maxval=6.0)
+        means = jnp.stack(
+            [
+                jax.random.uniform(ks[0], (n,), minval=-0.6, maxval=0.6) * z,
+                jax.random.uniform(ks[1], (n,), minval=-0.4, maxval=0.4) * z,
+                z,
+            ],
+            -1,
+        )
+        scales = jax.random.uniform(ks[3], (n, 3), minval=0.01, maxval=0.06)
+        cov = jnp.eye(3)[None] * scales[..., None] ** 2
+        sh = jax.random.normal(ks[4], (n, 3, 4)) * 0.3
+        opa = jax.random.uniform(ks[5], (n,), minval=0.1, maxval=0.9)
+        intr = jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]])
+        shape = (64, 256)
+        pg = project_gaussians(
+            means, cov, sh, opa, jnp.eye(4), intr,
+            jnp.float32(1.0), jnp.float32(25.0), shape,
+        )
+        for k in (64, 256):
+            a = jax.jit(
+                lambda pg: tiling.bin_gaussians_banked(pg, shape, 8, k, merge="sort")
+            )(pg)
+            b = jax.jit(
+                lambda pg: tiling.bin_gaussians_banked(pg, shape, 8, k, merge="flat")
+            )(pg)
+            assert bool(jnp.all(a.counts == b.counts)), k
+            assert bool(jnp.all(a.gaussian_ids == b.gaussian_ids)), k
