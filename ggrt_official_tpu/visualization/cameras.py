@@ -72,11 +72,26 @@ def draw_cameras(
     """
     extrinsics = jnp.asarray(extrinsics, jnp.float32)
     intrinsics = jnp.asarray(intrinsics, jnp.float32)
-    b = extrinsics.shape[0]
-    color = jnp.broadcast_to(jnp.asarray(color, jnp.float32).reshape(-1, 3), (b, 3))
-
     minima, maxima = compute_aabb(extrinsics, intrinsics, near, far)
     lo, hi = _equal_aabb_with_margin(minima, maxima, margin)
+    views = _draw_camera_planes(
+        resolution, extrinsics, intrinsics, color, near, far, lo, hi,
+        frustum_scale, label=True,
+    )
+    h = min(v.shape[1] for v in views)
+    return jnp.stack([v[:, :h] for v in views])
+
+
+def _draw_camera_planes(
+    resolution, extrinsics, intrinsics, color, near, far, lo, hi,
+    frustum_scale, label: bool,
+):
+    """Camera frusta on the three axis planes within a CALLER-SUPPLIED
+    AABB (lo, hi) — so overlays (render_projections) can draw points and
+    frusta in one shared coordinate frame (ADVICE r3: computing separate
+    AABBs left the composited frusta geometrically misaligned)."""
+    b = extrinsics.shape[0]
+    color = jnp.broadcast_to(jnp.asarray(color, jnp.float32).reshape(-1, 3), (b, 3))
     span = (hi - lo).max()
 
     corner_depth = jnp.full((b,), span * frustum_scale)
@@ -120,9 +135,10 @@ def draw_cameras(
                     0.25, width=1, x_range=x_range, y_range=y_range,
                 )
         axis_name = "xyz"[ax_x] + "xyz"[ax_y]
-        views.append(jnp.asarray(add_label(img, f"plane {axis_name}")))
-    h = min(v.shape[1] for v in views)
-    return jnp.stack([v[:, :h] for v in views])
+        views.append(
+            jnp.asarray(add_label(img, f"plane {axis_name}")) if label else img
+        )
+    return views
 
 
 def render_projections(
@@ -140,7 +156,16 @@ def render_projections(
 
     Returns (3, 3, resolution, resolution)."""
     points = jnp.asarray(points, jnp.float32)
-    lo, hi = _equal_aabb_with_margin(points.min(axis=0), points.max(axis=0), margin)
+    # ONE shared AABB over points AND camera frusta (ADVICE r3: separate
+    # frames left the overlaid frusta misaligned with the points).
+    pts_min, pts_max = points.min(axis=0), points.max(axis=0)
+    if extrinsics is not None and intrinsics is not None:
+        extrinsics = jnp.asarray(extrinsics, jnp.float32)
+        intrinsics = jnp.asarray(intrinsics, jnp.float32)
+        cam_min, cam_max = compute_aabb(extrinsics, intrinsics)
+        pts_min = jnp.minimum(pts_min, cam_min)
+        pts_max = jnp.maximum(pts_max, cam_max)
+    lo, hi = _equal_aabb_with_margin(pts_min, pts_max, margin)
 
     views = []
     for axis in range(3):
@@ -155,12 +180,14 @@ def render_projections(
         views.append(img)
     out = jnp.stack(views)
     if extrinsics is not None and intrinsics is not None:
-        cams = draw_cameras(
+        # Label-free planes in the SAME frame; no crop needed (the label
+        # strip previously chopped the frustum image bottom, ADVICE r3).
+        cams = jnp.stack(_draw_camera_planes(
             resolution, extrinsics, intrinsics,
-            jnp.ones((extrinsics.shape[0], 3)),
-        )
-        h = min(out.shape[2], cams.shape[2])
-        out = jnp.maximum(out[:, :, :h], cams[:, :, :h])
+            jnp.ones((extrinsics.shape[0], 3)), None, None, lo, hi,
+            frustum_scale=0.05, label=False,
+        ))
+        out = jnp.maximum(out, cams)
     return out
 
 

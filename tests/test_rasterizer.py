@@ -336,6 +336,38 @@ class TestCapPolicy:
         psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
         assert psnr >= 45.0, (kind, rec, psnr)
 
+    @pytest.mark.parametrize("kind", ["shallow", "deep"])
+    def test_quality_aware_chooser(self, kind):
+        """choose_max_per_tile (VERDICT r3 weak #3): the chosen K must (a)
+        actually meet the dB target it reports, verified by an independent
+        render at that static K, and (b) never exceed the demand policy."""
+        from ggrt_official_tpu.ops.rasterizer.api import choose_max_per_tile
+
+        shape = (32, 128)
+        scene = self._population(kind, jax.random.PRNGKey(11))
+        pol = choose_max_per_tile(
+            scene["extrinsics"], scene["intrinsics"], scene["near"],
+            scene["far"], shape, scene["background"], scene["means"],
+            scene["covariances"], scene["sh_coeffs"], scene["opacities"],
+            target_db=45.0, max_dup=8, floor=64,
+        )
+        assert pol["max_per_tile"] <= pol["k_ref"]
+        assert not pol["clipped"], pol
+
+        def rend(k):
+            return api.render(
+                scene["extrinsics"], scene["intrinsics"], scene["near"],
+                scene["far"], shape, scene["background"], scene["means"],
+                scene["covariances"], scene["sh_coeffs"], scene["opacities"],
+                backend="tiled", max_dup=8, max_per_tile=int(k),
+            )
+
+        img_k = rend(pol["max_per_tile"])
+        img_ref = rend(pol["k_ref"])
+        mse = float(jnp.mean((img_k - img_ref) ** 2))
+        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr >= 45.0, (kind, pol, psnr)
+
 
 class TestBankedBinning:
     """bin_gaussians_banked == bin_gaussians whenever nothing truncates:

@@ -62,6 +62,56 @@ class TestTrainer:
         assert np.isfinite(float(aux2["loss_all"]))
 
     @pytest.mark.slow
+    def test_loss_body_shared(self, dataset):
+        """VERDICT r3 #5: the single-chip step and the dp shard_map step
+        must consume the SAME loss body (make_pretrain_loss_fn). Computes
+        grads/updates manually through the shared fn and asserts the
+        trainer's jitted step lands on bitwise-identical params + aux."""
+        from ggrt_official_tpu.training import state as state_lib
+        from ggrt_official_tpu.training.trainer import (
+            GGRtTrainer, make_pretrain_loss_fn,
+        )
+
+        cfg = tiny_cfg()
+        cfg.train.use_depth_loss = True
+        cfg.train.use_pred_pose = True
+        trainer = GGRtTrainer(cfg)
+        batch = collate_batch(dataset[0])
+        state0 = trainer.init_full(batch)
+        _, step_rng = jax.random.split(trainer.rng)
+
+        prepared = trainer.prepare_batch(batch)
+        mid = state_lib.state_id("joint")
+        loss_fn = make_pretrain_loss_fn(trainer.model, cfg, mid)
+
+        # The same composite program the trainer jits (grad + updates in one
+        # jit): eager apply_updates fuses differently and breaks bitwise
+        # comparison without indicating any real divergence.
+        def manual_step(state, b, r):
+            grads, aux = jax.grad(loss_fn, has_aux=True)(
+                state.params, b, state.step, r
+            )
+            return state_lib.apply_updates(
+                cfg, state, grads, jnp.asarray(mid, jnp.int32)
+            ), aux
+
+        expected, aux_direct = jax.jit(manual_step)(state0, prepared, step_rng)
+
+        aux = trainer.train_iteration(batch, machine="joint")
+        np.testing.assert_allclose(
+            float(aux["loss_all"]), float(aux_direct["loss_all"]), rtol=1e-6
+        )
+        for key in ("gaussian_loss", "sfm_loss", "depth_loss", "psnr"):
+            assert key in aux, f"shared aux lost {key}"
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            expected.params, trainer.state.params,
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) == 0.0, (
+            "trainer step diverged from the shared loss body"
+        )
+
+    @pytest.mark.slow
     def test_state_machine_masks_gradients(self, dataset):
         from ggrt_official_tpu.training.trainer import GGRtTrainer
 

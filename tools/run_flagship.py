@@ -1,4 +1,4 @@
-"""Round-3 flagship proof run: staged synthetic pretrain + held-out eval.
+"""Flagship proof run: staged synthetic pretrain + held-out eval.
 
 The flagship demonstrates the product's headline capability end-to-end:
 pose-free generalizable rendering. Recipe (CPU-rehearsed by
@@ -22,15 +22,15 @@ quality from pose quality), plus a per-arm identity-prediction pose
 baseline (unaligned errors only — the sim3 fit is degenerate for
 broadcast-identity predictions, ADVICE r2).
 
-Round-3 acceptance bar (VERDICT r2 #1): heldout-views pred-pose PSNR
-within 2 dB of the GT-pose arm AND R_err_unaligned < 0.5x the identity
-baseline.
+Acceptance bar (VERDICT r2 #1, unchanged since): heldout-views pred-pose
+PSNR within 2 dB of the GT-pose arm AND R_err_unaligned < 0.5x the
+identity baseline.
 
 Writes <out>/EVAL_FLAGSHIP.json and (only at default args) the round
-artifact EVAL_FLAGSHIP_r03.json at the repo root; the artifact embeds the
+artifact EVAL_FLAGSHIP_r04.json at the repo root; the artifact embeds the
 full args + scene spec so smoke runs are distinguishable (ADVICE r2).
 
-Usage: python tools/run_flagship.py [--nerf 1600] [--pose 900] [--out out/flagship_r03]
+Usage: python tools/run_flagship.py [--nerf 1600] [--pose 900] [--out out/flagship_r04]
 """
 import argparse
 import dataclasses
@@ -57,7 +57,7 @@ def main():
     # rehearsal diag (tools/diag_pose_learn_v3.py).
     ap.add_argument("--lrate_pose", type=float, default=3e-4)
     ap.add_argument("--image", type=int, nargs=2, default=(64, 96))
-    ap.add_argument("--out", default="out/flagship_r03")
+    ap.add_argument("--out", default="out/flagship_r04")
     ap.add_argument("--eval_limit", type=int, default=None)
     ap.add_argument("--cache_ab", type=int, default=25,
                     help="steps for the gaussian-cache on/off timing (0=skip)")
@@ -178,7 +178,7 @@ def main():
     baselines = {}
     out_path = Path(args.out) / "EVAL_FLAGSHIP.json"
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    artifact = Path(args.artifact) if args.artifact else ROOT / "EVAL_FLAGSHIP_r03.json"
+    artifact = Path(args.artifact) if args.artifact else ROOT / "EVAL_FLAGSHIP_r04.json"
 
     for name, (sp, pred, refine) in arms.items():
         ds = SyntheticPlanesDataset(sp, mode="test", num_source_views=4)
