@@ -65,8 +65,10 @@ def main():
 
     def base_cfg(lrate_pose=3e-4, joint_coefficient=1e-5):
         cfg = mod._tiny_cfg()
-        cfg.train.use_pred_pose = True
-        cfg.train.pose_render_grad = True
+        # Rehearsed recipe (see run_flagship.py --pred_pose/--render_grad):
+        # pose stage = photometric warp + GT-pose-render depth distill.
+        cfg.train.use_pred_pose = False
+        cfg.train.pose_render_grad = False
         cfg.train.sfm_valid_mask = True
         cfg.train.sfm_oob_weight = 0.1
         cfg.train.pose_depth_distill = 1.0

@@ -53,9 +53,20 @@ def main():
     # The reference's lrate_pose (2e-5, pretrain_ggrt_stable.yaml:38-58) is
     # tuned for 100k+-step schedules; at flagship scale (hundreds of pose
     # steps) it cannot move IPO-Net off its init — the r3 smoke run left
-    # R_err at the identity baseline with it. 3e-4 matches the CPU
-    # rehearsal diag (tools/diag_pose_learn_v3.py).
-    ap.add_argument("--lrate_pose", type=float, default=3e-4)
+    # R_err at the identity baseline with it. 2e-4 is what the CPU
+    # rehearsal diag actually ran (tools/diag_pose_learn_v3.py:82 — the r3
+    # flagship's 3e-4 was yet another unrehearsed deviation).
+    ap.add_argument("--lrate_pose", type=float, default=2e-4)
+    # Pose-stage wiring knobs (round-4: the r4 first attempt failed its bar
+    # with pred_pose=1 render_grad=1 — two flags the CPU rehearsal never
+    # validated; they feed garbage predicted-pose renders into both the
+    # distill target and the loss, and IPO-Net landed WORSE than identity,
+    # R 15.4 deg vs 8.2 baseline. Defaults now match the REHEARSED recipe:
+    # pose stage learns from the photometric warp loss + depth distilled
+    # from GT-pose renders; predicted poses are exercised at EVAL, which is
+    # where the pose-free product claim lives).
+    ap.add_argument("--pred_pose", type=int, default=0)
+    ap.add_argument("--render_grad", type=int, default=0)
     ap.add_argument("--image", type=int, nargs=2, default=(64, 96))
     ap.add_argument("--out", default="out/flagship_r04")
     ap.add_argument("--eval_limit", type=int, default=None)
@@ -67,7 +78,7 @@ def main():
     defaults = all(
         getattr(args, k) == ap.get_default(k)
         for k in ("nerf", "pose", "scenes", "distill", "image", "eval_limit",
-                  "lrate_pose")
+                  "lrate_pose", "pred_pose", "render_grad")
     )
 
     import jax
@@ -95,13 +106,15 @@ def main():
     spec_mod.loader.exec_module(mod)
 
     cfg = mod._tiny_cfg()
-    # use_pred_pose + pose_render_grad: in the pose stage the gaussian
-    # branch renders FROM the predicted poses and the rgb loss backprops
-    # into IPO-Net through the rasterizer's camera gradients (the gaussian
-    # branch itself stays frozen via the state-machine grad masks).
-    # nerf_only ignores use_pred_pose by design (trainer.py).
-    cfg.train.use_pred_pose = True
-    cfg.train.pose_render_grad = True
+    # use_pred_pose + pose_render_grad (see the --pred_pose/--render_grad
+    # help): when ON, the pose stage renders FROM the predicted poses and
+    # the rgb loss backprops into IPO-Net through the rasterizer's camera
+    # gradients. OFF by default after the r4 first attempt: with an
+    # untrained predictor those renders are garbage and both the distill
+    # target and the pose gradient become noise (EVAL_FLAGSHIP attempt 1,
+    # out/flagship_r04). nerf_only ignores use_pred_pose by design.
+    cfg.train.use_pred_pose = bool(args.pred_pose)
+    cfg.train.pose_render_grad = bool(args.render_grad)
     cfg.train.sfm_valid_mask = True
     cfg.train.sfm_oob_weight = 0.1
     cfg.train.pose_depth_distill = args.distill
