@@ -40,7 +40,11 @@ class Evaluator:
         self._refine = jax.jit(self._refine_impl, static_argnames=("steps",))
 
     def _refine_impl(self, vec0, inv_depth, tgt, refs, K, refK, steps: int,
-                     lr: float = 3e-3):
+                     lr: float = 1e-2):
+        # lr 1e-2 matches the validated direct-from-identity regime
+        # (tools/diag_pose_landscape.py: R -> ~2.2 deg in 400 steps at
+        # 1e-2; the old 3e-3/80-step setting moved R by < 3 deg in the r4
+        # attempt-1 eval, far too weak to matter).
         """Test-time pose refinement (self-supervised): Adam on the raw
         6-vec relative poses against the photometric warp loss with
         IPO-Net's own depth — the BARF/DBARF test-time pose-optimization

@@ -139,6 +139,13 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
             "depth_loss": loss_depth,
             "psnr": mse2psnr(img2mse(ret["rgb"], gt["rgb"])),
             "rel_poses": rel_poses,
+            # Drift canary (r4 attempt 1 failed with translations at 26.7
+            # units vs a 0.25 identity baseline and nobody noticed until
+            # eval): mean 6-vec norm of the final pose iterate, logged every
+            # n_tensorboard steps by the loop.
+            "pose_vec_norm": jnp.mean(
+                jnp.linalg.norm(rel_poses[:, -1, :], axis=-1)
+            ),
         }
         if distill is not None:
             aux["pose_distill_loss"] = distill

@@ -182,10 +182,10 @@ def main():
     # on top of the IPO-Net prediction.
     arms = {
         "heldout_views_pred_pose": (spec(0), True, 0),
-        "heldout_views_pred_refined": (spec(0), True, 80),
+        "heldout_views_pred_refined": (spec(0), True, 400),
         "heldout_views_gt_pose": (spec(0), False, 0),
         "heldout_scene_pred_pose": (spec(17), True, 0),
-        "heldout_scene_pred_refined": (spec(17), True, 80),
+        "heldout_scene_pred_refined": (spec(17), True, 400),
         "heldout_scene_gt_pose": (spec(17), False, 0),
     }
     baselines = {}
