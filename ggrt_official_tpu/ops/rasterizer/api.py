@@ -28,15 +28,16 @@ def _render_one(
     extrinsics, intrinsics, near, far, background,
     means, covariances, sh_coeffs, opacities,
     image_shape, backend, max_dup, max_per_tile, tile_chunk,
-    binning_mode="sort",
+    binning_mode="sort", tile_shape=None,
 ):
+    th, tw = tile_shape or (tiling.TILE_H, tiling.TILE_W)
     if backend == "reference":
         # tile_shape mirrors the production tiles so the oracle reproduces
         # the CUDA kernel's tile-granular culling exactly.
         return reference.render_reference(
             means, covariances, sh_coeffs, opacities,
             extrinsics, intrinsics, near, far, image_shape, background,
-            tile_shape=(tiling.TILE_H, tiling.TILE_W),
+            tile_shape=(th, tw),
         )
     pg = project_gaussians(
         means, covariances, sh_coeffs, opacities,
@@ -55,21 +56,25 @@ def _render_one(
     binning = bin_fn(
         jax.tree_util.tree_map(jax.lax.stop_gradient, pg),
         image_shape, max_dup=max_dup, max_per_tile=max_per_tile,
+        tile_h=th, tile_w=tw,
     )
     if backend == "tiled":
         return composite.composite_tiles(
-            pg, binning, background, image_shape, tile_chunk=tile_chunk
+            pg, binning, background, image_shape,
+            tile_h=th, tile_w=tw, tile_chunk=tile_chunk,
         )
     elif backend == "pallas":
         from . import pallas_composite
 
-        return pallas_composite.composite_tiles_pallas(pg, binning, background, image_shape)
+        return pallas_composite.composite_tiles_pallas(
+            pg, binning, background, image_shape, tile_h=th, tile_w=tw
+        )
     raise ValueError(f"unknown backend {backend}")
 
 
 @partial(
     jax.jit,
-    static_argnames=("image_shape", "backend", "scale_invariant", "max_dup", "max_per_tile", "tile_chunk", "binning_mode"),
+    static_argnames=("image_shape", "backend", "scale_invariant", "max_dup", "max_per_tile", "tile_chunk", "binning_mode", "tile_shape"),
 )
 def render(
     extrinsics: jnp.ndarray,
@@ -88,6 +93,7 @@ def render(
     max_per_tile: int = 1024,
     tile_chunk: int = 16,
     binning_mode: str = "sort",
+    tile_shape: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Render a batch of views.
 
@@ -96,6 +102,11 @@ def render(
       near/far: (b,). background: (b, 3).
       means: (b, g, 3); covariances: (b, g, 3, 3);
       sh_coeffs: (b, g, 3, d_sh); opacities: (b, g).
+      tile_shape: (tile_h, tile_w) screen-tile pixels; None = the default
+        (8, 128). Smaller tiles (e.g. (8, 32), the CUDA kernel's 256-px
+        granularity) cut per-pair compositing work ~P-fold at dense
+        populations in exchange for more tiles and duplicate entries —
+        pick per resolution/population (see bench.py / shape gate).
     Returns:
       (b, 3, h, w) images.
     """
@@ -112,6 +123,7 @@ def render(
     fn = lambda e, i, n, f, bg, m, c, s, o: _render_one(
         e, i, n, f, bg, m, c, s, o,
         image_shape, backend, max_dup, max_per_tile, tile_chunk, binning_mode,
+        tile_shape,
     )
     if extrinsics.shape[0] == 1:
         # Avoid a 1-element vmap: vmapping pallas_call adds a mapped grid
@@ -130,6 +142,7 @@ def choose_max_per_tile(
     means, covariances, sh_coeffs, opacities,
     *, target_db: float = 45.0, floor: int = 256, cap: int = 16384,
     max_dup: int = 8, scale_invariant: bool = True,
+    tile_shape: tuple[int, int] | None = None,
 ) -> dict:
     """QUALITY-AWARE per-tile capacity policy (host-side, one-off per
     scene/population; K is a static jit arg).
@@ -163,11 +176,14 @@ def choose_max_per_tile(
         near = near * scale
         far = far * scale
 
+    th, tw = tile_shape or (tiling.TILE_H, tiling.TILE_W)
     pg = project_gaussians(
         means[0], covariances[0], sh_coeffs[0], opacities[0],
         extrinsics[0], intrinsics[0], near[0], far[0], image_shape,
     )
-    rec = recommend_max_per_tile(pg, image_shape, max_dup=max_dup, cap=1 << 30)
+    rec = recommend_max_per_tile(
+        pg, image_shape, max_dup=max_dup, cap=1 << 30, tile_h=th, tile_w=tw
+    )
     k_ref = max(rec["max_per_tile"], floor)
 
     @jax.jit
@@ -176,7 +192,8 @@ def choose_max_per_tile(
         # tile-count fields cannot cross a jit boundary); k_ref is static,
         # k is DATA — every probe reuses this single compile.
         binning = bin_gaussians(
-            pg, image_shape, max_dup=max_dup, max_per_tile=k_ref
+            pg, image_shape, max_dup=max_dup, max_per_tile=k_ref,
+            tile_h=th, tile_w=tw,
         )
         ids = jnp.where(
             jnp.arange(k_ref, dtype=jnp.int32)[None, :] < k,
@@ -191,7 +208,8 @@ def choose_max_per_tile(
         # tile_chunk=1: chunk_fn materializes (chunk, K, P) intermediates
         # and k_ref can be 32k+ at waymo scale.
         return composite.composite_tiles(
-            pg, b2, background[0], image_shape, tile_chunk=1
+            pg, b2, background[0], image_shape, tile_h=th, tile_w=tw,
+            tile_chunk=1,
         )
 
     ref = np.asarray(render_trunc(pg, jnp.int32(k_ref)))

@@ -49,16 +49,24 @@ from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS, ProjectedGaussians
 from .tiling import TILE_H, TILE_W, TileBinning
 
 _CH = 128                      # gaussians per chunk (lane axis)
-_P = TILE_H * TILE_W           # pixels per tile (sublane axis)
+_P = TILE_H * TILE_W           # pixels of the DEFAULT tile (sublane axis)
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _basis():
-    """(P, 3) pixel basis [x_local, y_local, 1], tile-centered coords."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (_P, 3), 0)
-    r = jax.lax.broadcasted_iota(jnp.int32, (_P, 3), 1)
-    px = (p % TILE_W).astype(jnp.float32) - (TILE_W - 1) / 2.0
-    py = (p // TILE_W).astype(jnp.float32) - (TILE_H - 1) / 2.0
+def _basis(tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """(P, 3) pixel basis [x_local, y_local, 1], tile-centered coords.
+
+    The tile shape is a free parameter: pixels live on the SUBLANE axis of
+    every (P, CH) array (lanes hold gaussian chunks), so P = tile_h·tile_w
+    only needs to be a multiple of 8 — nothing ties tile_w to the 128-lane
+    width. Smaller tiles cut the per-(gaussian, tile)-pair pixel work
+    (CUDA uses 256-px 16x16 tiles; our default 8x128 = 1024 px evaluates
+    4x the pixels per pair) at the cost of more tiles and duplicates."""
+    P = tile_h * tile_w
+    p = jax.lax.broadcasted_iota(jnp.int32, (P, 3), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (P, 3), 1)
+    px = (p % tile_w).astype(jnp.float32) - (tile_w - 1) / 2.0
+    py = (p // tile_w).astype(jnp.float32) - (tile_h - 1) / 2.0
     return jnp.where(r == 0, px, jnp.where(r == 1, py, 1.0))
 
 
@@ -101,10 +109,12 @@ def _chunk_quantities(B, A):
     return u, v, e, araw, alpha, 1.0 - alpha
 
 
-def _fwd_kernel(counts_ref, rec_ref, col_ref, acc_ref, tfin_ref, tst_ref, nexec_ref):
+def _fwd_kernel(counts_ref, rec_ref, col_ref, acc_ref, tfin_ref, tst_ref, nexec_ref,
+                *, tile_h: int, tile_w: int):
     K = rec_ref.shape[2]
     nch = K // _CH
-    A = _basis()
+    _P = tile_h * tile_w
+    A = _basis(tile_h, tile_w)
     t = pl.program_id(0)
     need = jnp.minimum((counts_ref[t] + _CH - 1) // _CH, nch)
 
@@ -162,9 +172,11 @@ def _fwd_kernel(counts_ref, rec_ref, col_ref, acc_ref, tfin_ref, tst_ref, nexec_
 def _bwd_kernel(
     nexec_ref, rec_ref, col_ref, tst_ref, tfin_ref, g_ref, gtfin_ref,
     drec_ref, dcol_ref,
+    *, tile_h: int, tile_w: int,
 ):
     K = rec_ref.shape[2]
-    A = _basis()
+    _P = tile_h * tile_w
+    A = _basis(tile_h, tile_w)
     nexec = nexec_ref[0, 0, 0].astype(jnp.int32)
 
     drec_ref[0] = jnp.zeros((8, K), jnp.float32)
@@ -241,9 +253,12 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, nexec, body, jnp.zeros((_P, 1), jnp.float32))
 
 
-def _fwd_raw(records, colors, counts):
+def _fwd_raw(records, colors, counts, tile_h=TILE_H, tile_w=TILE_W):
+    from functools import partial
+
     num_tiles, _, K = records.shape
     nch = K // _CH
+    _P = tile_h * tile_w
     counts_i = counts.reshape(-1).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -260,7 +275,7 @@ def _fwd_raw(records, colors, counts):
         ],
     )
     acc, tfin, tst, nexec = pl.pallas_call(
-        _fwd_kernel,
+        partial(_fwd_kernel, tile_h=tile_h, tile_w=tile_w),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, _P, 4), jnp.float32),
@@ -277,11 +292,14 @@ def _fwd_raw(records, colors, counts):
     return acc, tfin, tst, nexec
 
 
-def _bwd_raw(records, colors, tst, nexec, tfin, gout, gtfin):
+def _bwd_raw(records, colors, tst, nexec, tfin, gout, gtfin, tile_h=TILE_H, tile_w=TILE_W):
+    from functools import partial
+
     num_tiles, _, K = records.shape
     nch = K // _CH
+    _P = tile_h * tile_w
     drec, dcol = pl.pallas_call(
-        _bwd_kernel,
+        partial(_bwd_kernel, tile_h=tile_h, tile_w=tile_w),
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -309,25 +327,41 @@ def _bwd_raw(records, colors, tst, nexec, tfin, gout, gtfin):
     return drec, dcol
 
 
-@jax.custom_vjp
-def _composite_core(records, colors, counts):
-    acc, tfin, _, _ = _fwd_raw(records, colors, counts)
-    return acc, tfin
+_CORE_CACHE: dict = {}
 
 
-def _core_fwd(records, colors, counts):
-    acc, tfin, tst, nexec = _fwd_raw(records, colors, counts)
-    return (acc, tfin), (records, colors, counts, tst, nexec, tfin)
+def _get_composite_core(tile_h: int, tile_w: int):
+    """custom_vjp compositing core for one static tile shape (cached so the
+    same jaxpr-identity function is reused across traces)."""
+    key = (tile_h, tile_w)
+    if key in _CORE_CACHE:
+        return _CORE_CACHE[key]
+
+    @jax.custom_vjp
+    def _composite_core(records, colors, counts):
+        acc, tfin, _, _ = _fwd_raw(records, colors, counts, tile_h, tile_w)
+        return acc, tfin
+
+    def _core_fwd(records, colors, counts):
+        acc, tfin, tst, nexec = _fwd_raw(records, colors, counts, tile_h, tile_w)
+        return (acc, tfin), (records, colors, counts, tst, nexec, tfin)
+
+    def _core_bwd(res, gouts):
+        records, colors, counts, tst, nexec, tfin = res
+        gout, gtfin = gouts
+        drec, dcol = _bwd_raw(
+            records, colors, tst, nexec, tfin, gout, gtfin, tile_h, tile_w
+        )
+        return drec, dcol, jnp.zeros_like(counts)
+
+    _composite_core.defvjp(_core_fwd, _core_bwd)
+    _CORE_CACHE[key] = _composite_core
+    return _composite_core
 
 
-def _core_bwd(res, gouts):
-    records, colors, counts, tst, nexec, tfin = res
-    gout, gtfin = gouts
-    drec, dcol = _bwd_raw(records, colors, tst, nexec, tfin, gout, gtfin)
-    return drec, dcol, jnp.zeros_like(counts)
-
-
-_composite_core.defvjp(_core_fwd, _core_bwd)
+# Default-tile-shape core (the tile-parallel renderer and diag tools bind it
+# directly).
+_composite_core = _get_composite_core(TILE_H, TILE_W)
 
 
 _USE_INV_VJP = True
@@ -379,7 +413,8 @@ def _gather_rows_bwd(res, dgath):
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
-def build_records(pg: ProjectedGaussians, binning: TileBinning):
+def build_records(pg: ProjectedGaussians, binning: TileBinning,
+                  tile_h: int = TILE_H, tile_w: int = TILE_W):
     """Gather per-tile Gaussian lists into component-major record tensors.
 
     Differentiable jnp: gradients chain conic→Cholesky and
@@ -415,8 +450,8 @@ def build_records(pg: ProjectedGaussians, binning: TileBinning):
     opacity = gath[..., 8] * present
 
     t_idx = jnp.arange(num_tiles, dtype=jnp.float32)
-    ox = (t_idx % ntx) * TILE_W + (TILE_W - 1) / 2.0
-    oy = (t_idx // ntx) * TILE_H + (TILE_H - 1) / 2.0
+    ox = (t_idx % ntx) * tile_w + (tile_w - 1) / 2.0
+    oy = (t_idx // ntx) * tile_h + (tile_h - 1) / 2.0
     mx = mean2d[..., 0] - ox[:, None]
     my = mean2d[..., 1] - oy[:, None]
 
@@ -445,16 +480,19 @@ def composite_tiles_pallas(
     binning: TileBinning,
     background: jnp.ndarray,
     image_shape: tuple[int, int],
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
 ) -> jnp.ndarray:
     """Drop-in replacement for composite.composite_tiles (Pallas backend)."""
     h, w = image_shape
     nty, ntx = binning.num_tiles_y, binning.num_tiles_x
 
-    records, colors, counts = build_records(pg, binning)
-    acc, tfin = _composite_core(records, colors, counts)  # (t, P, 4), (t, P, 1)
+    records, colors, counts = build_records(pg, binning, tile_h, tile_w)
+    core = _get_composite_core(tile_h, tile_w)
+    acc, tfin = core(records, colors, counts)  # (t, P, 4), (t, P, 1)
 
     rgb = jnp.swapaxes(acc[..., :3], 1, 2)                # (t, 3, P)
     img = rgb + jnp.swapaxes(tfin, 1, 2) * background[None, :, None]
-    img = img.reshape(nty, ntx, 3, TILE_H, TILE_W)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(3, nty * TILE_H, ntx * TILE_W)
+    img = img.reshape(nty, ntx, 3, tile_h, tile_w)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, nty * tile_h, ntx * tile_w)
     return img[:, :h, :w]
