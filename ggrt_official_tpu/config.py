@@ -154,6 +154,13 @@ class TrainCfg:
     # losses/photometric.py oob_weight) — restores the inward gradient that
     # valid_mask removes. 0 = off (reference parity).
     sfm_oob_weight: float = 0.0
+    # Weight of the photometric warp (sfm) term in the pose_only loss.
+    # 1.0 = reference parity. On noise-textured synthetic scenes the warp
+    # loss floors at the automask level (r4 flagship attempts 1-2: sfm flat
+    # at ~0.8 while rotations never left identity) — 0 lets pose_only train
+    # purely from distill + render-gradient terms. Joint-state composition
+    # is unaffected (it follows the reference's compose_joint_loss).
+    sfm_weight: float = 1.0
     # Let the rgb render loss backprop into the injected predicted poses
     # through the rasterizer's camera gradients (our Pallas VJP computes
     # exact dExtrinsics — the capability the reference's modified CUDA

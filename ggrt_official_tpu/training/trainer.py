@@ -105,7 +105,9 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
 
         mid = jnp.asarray(machine_id, jnp.int32)
         sfm_loss = sfm["loss"]
-        pose_loss = sfm_loss
+        # sfm_weight scales the warp term in pose_only ONLY (the joint
+        # branch keeps the reference's raw compose_joint_loss); see config.
+        pose_loss = cfg.train.sfm_weight * sfm_loss
         distill = None
         if cfg.train.pose_depth_distill > 0.0 and ret["depth"] is not None:
             # Distill the frozen gaussian model's rendered depth into the

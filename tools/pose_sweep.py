@@ -63,7 +63,7 @@ def main():
     mod = importlib.util.module_from_spec(spec_mod)
     spec_mod.loader.exec_module(mod)
 
-    def base_cfg(lrate_pose=3e-4, joint_coefficient=1e-5):
+    def base_cfg(**overrides):
         cfg = mod._tiny_cfg()
         # Rehearsed recipe (see run_flagship.py --pred_pose/--render_grad):
         # pose stage = photometric warp + GT-pose-render depth distill.
@@ -72,11 +72,13 @@ def main():
         cfg.train.sfm_valid_mask = True
         cfg.train.sfm_oob_weight = 0.1
         cfg.train.pose_depth_distill = 1.0
-        cfg.train.lrate_pose = lrate_pose
-        cfg.train.joint_coefficient = joint_coefficient
+        cfg.train.lrate_pose = 2e-4
         cfg.train.n_tensorboard = 200
         cfg.train.n_checkpoint = 100000   # no mid-run ckpts in the sweep
         cfg.train.n_iters = args.nerf + args.pose
+        for k, v in overrides.items():
+            assert hasattr(cfg.train, k), k
+            setattr(cfg.train, k, v)
         return cfg
 
     n_total = args.nerf + args.pose
@@ -101,6 +103,23 @@ def main():
         # the published value and a short-run-scaled one.
         "joint_ref_coeff": (0, 0, joint, {"joint_coefficient": 1e-5}),
         "joint_scaled_coeff": (0, 0, joint, {"joint_coefficient": 1e-3}),
+        # Render-gradient curriculum (the reference's actual pose-learning
+        # mechanism — predicted poses injected into the render and the rgb
+        # loss backpropped into IPO-Net through the rasterizer's camera
+        # gradients, train_ggrt_stable.py:102-106 + the dcharatan fork's
+        # dCamera). The r4 attempt-1 failure ran this UNCONSTRAINED at
+        # lrate 3e-4 from a garbage predictor; here the pose stage starts
+        # from a trained G-3DGS, predictions start near identity, and the
+        # oob penalty + distill + lower lr bound the translation drift.
+        "staged_rendergrad": (0, 0, staged,
+                              {"use_pred_pose": True,
+                               "pose_render_grad": True,
+                               "lrate_pose": 1e-4}),
+        "staged_rendergrad_nosfm": (0, 0, staged,
+                                    {"use_pred_pose": True,
+                                     "pose_render_grad": True,
+                                     "lrate_pose": 1e-4,
+                                     "sfm_weight": 0.0}),
     }
     if args.only:
         variants = {k: v for k, v in variants.items() if k in args.only}

@@ -215,6 +215,30 @@ def main():
         with open(out_path, "w") as f:
             json.dump(result, f, indent=2)
 
+    # Explicit acceptance-bar verdict (VERDICT r2 #1 bar, lines 25-28):
+    # computed from the arms so every attempt self-reports PASS/FAIL.
+    try:
+        pv = result["heldout_views_pred_pose"]
+        gv = result["heldout_views_gt_pose"]
+        ident = result["identity_pose_baseline_scene0"]["R_error_mean_unaligned"]
+        gap = gv["psnr"] - pv["psnr"]
+        ratio = pv["R_error_mean_unaligned"] / max(ident, 1e-9)
+        result["bar"] = {
+            "psnr_gap_db": round(gap, 3),
+            "psnr_ok": bool(gap <= 2.0),
+            "r_err_ratio_vs_identity": round(ratio, 3),
+            "r_ok": bool(ratio < 0.5),
+            "refined_r_err_ratio": round(
+                result.get("heldout_views_pred_refined", {}).get(
+                    "R_error_mean_unaligned", float("nan")
+                ) / max(ident, 1e-9), 3,
+            ),
+            "pass": bool(gap <= 2.0 and ratio < 0.5),
+        }
+        print("bar", json.dumps(result["bar"]), flush=True)
+    except (KeyError, TypeError) as e:
+        result["bar"] = {"error": f"bar not computable: {e}"}
+
     # Gaussian-cache A/B (VERDICT r2 #8): steady-state per-step wall time
     # with the cross-iteration cache on vs off, same scene stream.
     if args.cache_ab > 0:
