@@ -154,6 +154,18 @@ class TrainCfg:
     # losses/photometric.py oob_weight) — restores the inward gradient that
     # valid_mask removes. 0 = off (reference parity).
     sfm_oob_weight: float = 0.0
+    # Teacher-render pose loss weight (pose_only; 0 = off). Renders the
+    # CONTEXT views at the PREDICTED cameras from a frozen teacher field
+    # (gaussians encoded at the dataset context poses — the same teacher
+    # the depth distill already uses) and penalizes photometric error vs
+    # the real context images. Gradients reach IPO-Net ONLY through the
+    # rasterizer's exact camera VJP (the dcharatan-fork capability), a far
+    # wider basin than texture warping: the r4 sweep showed the warp loss
+    # floored at its automask level (rotations never left identity) while
+    # injecting predicted poses into the ENCODER (pose_render_grad)
+    # diverged to R 152 deg — the render-camera path is the signal that
+    # remains.
+    pose_teacher_weight: float = 0.0
     # Weight of the photometric warp (sfm) term in the pose_only loss.
     # 1.0 = reference parity. On noise-textured synthetic scenes the warp
     # loss floors at the automask level (r4 flagship attempts 1-2: sfm flat

@@ -91,6 +91,29 @@ class GGRtModel(nn.Module):
     def gaussian_forward(self, batch, global_step, **kw):
         return self.gaussian(batch, global_step, **kw)
 
+    def pose_teacher_render(self, batch, cams_c2w, global_step):
+        """Render the context views at the given cameras from a FROZEN
+        teacher field (gaussians encoded at the dataset context poses).
+
+        The pose-teacher loss (config.pose_teacher_weight) compares these
+        renders against the real context images; gradients flow to the
+        cameras only — the gaussians are stop-gradiented, so IPO-Net
+        receives the rasterizer's exact dExtrinsics and nothing perturbs
+        the field (unlike use_pred_pose+pose_render_grad, which rebuilds
+        the field FROM the predicted poses and diverges, r4 sweep).
+
+        Args: cams_c2w (b, v, 4, 4). Returns (b, v, 3, h, w) renders.
+        """
+        ctx = batch["context"]
+        g = self.gaussian.encode_pairs(ctx, global_step, deterministic=True)
+        g = jax.tree_util.tree_map(jax.lax.stop_gradient, g)
+        h, w = ctx["image"].shape[-2:]
+        out = self.gaussian.decoder(
+            g, cams_c2w, ctx["intrinsics"], ctx["near"], ctx["far"], (h, w),
+            depth_mode=None,
+        )
+        return out.color
+
     def __call__(self, batch, global_step, **kw):
         """Gaussian-model forward (the common jit entry)."""
         return self.gaussian(batch, global_step, **kw)

@@ -125,6 +125,23 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
             # gradients (see config.pose_render_grad); in pose_only the
             # gaussian branch's grads are masked by the state machine.
             pose_loss = pose_loss + coarse_loss
+        teacher = None
+        if cfg.train.pose_teacher_weight > 0.0:
+            # Teacher-render pose loss (config.pose_teacher_weight): render
+            # the context views at the PREDICTED cameras from the frozen
+            # teacher field and compare to the real context images; the
+            # gradient reaches IPO-Net only via the rasterizer's dCamera.
+            target_pose = batch["camera"][0, -16:].reshape(4, 4)
+            nv = rel_poses.shape[0]
+            pred_c2w = relative_to_source_c2w(
+                jnp.broadcast_to(target_pose, (nv, 4, 4)), rel_poses[:, -1, :]
+            )
+            rend = model.apply(
+                params, batch, pred_c2w[None], step,
+                method="pose_teacher_render",
+            )
+            teacher = jnp.mean((rend - batch["context"]["image"]) ** 2)
+            pose_loss = pose_loss + cfg.train.pose_teacher_weight * teacher
         loss_all = jnp.where(
             mid == state_lib.STATE_JOINT,
             compose_joint_loss(sfm_loss, coarse_loss, step, cfg.train.joint_coefficient),
@@ -151,6 +168,8 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
         }
         if distill is not None:
             aux["pose_distill_loss"] = distill
+        if teacher is not None:
+            aux["pose_teacher_loss"] = teacher
         return loss_all, aux
 
     return loss_fn

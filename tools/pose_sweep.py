@@ -120,6 +120,21 @@ def main():
                                      "pose_render_grad": True,
                                      "lrate_pose": 1e-4,
                                      "sfm_weight": 0.0}),
+        # Teacher-render pose loss (config.pose_teacher_weight): context
+        # views rendered at the PREDICTED cameras from the frozen teacher
+        # field, L2 vs the real images, gradients via the rasterizer's
+        # dCamera only — the field itself is never perturbed (what sank
+        # the rendergrad variants above at R 152 deg).
+        "staged_teacher": (0, 0, staged, {"pose_teacher_weight": 10.0}),
+        "staged_teacher_only": (0, 0, staged,
+                                {"pose_teacher_weight": 10.0,
+                                 "sfm_weight": 0.0}),
+        # Pose-stage lr ladder: at 2e-4 the rotations never left identity
+        # (staged_seed0) while the DIRECT warp basin descends 5.4 -> 4.1
+        # (diag_pose_teacher) — probe whether the amortization gap is just
+        # optimization budget.
+        "staged_lr1e3": (0, 0, staged, {"lrate_pose": 1e-3}),
+        "staged_lr3e3": (0, 0, staged, {"lrate_pose": 3e-3}),
     }
     if args.only:
         variants = {k: v for k, v in variants.items() if k in args.only}

