@@ -78,13 +78,15 @@ def main():
     # its depth-limited floor (diag_pose_teacher: 4.07 deg from 5.39 with
     # IPO depth; 2.2 with GT depth).
     ap.add_argument("--sfm_weight", type=float, default=0.0)
-    # 128x192 (r4 attempt 3): the warp-refinement floor is texture/depth
-    # limited and drops with resolution — 4.07 deg at 64x96 vs 3.53 at
-    # 128x192 even with the depth net evaluated OFF its training
-    # resolution (diag_pose_teacher r4 runs); at-res depth training
-    # tightens it further. The identity baseline is resolution-independent,
-    # so resolution buys pure margin on the R bar.
-    ap.add_argument("--image", type=int, nargs=2, default=(128, 192))
+    # The warp-refinement floor is texture/depth limited and drops with
+    # resolution — 4.07 deg at 64x96 vs 3.53 at 128x192 even with the
+    # depth net evaluated OFF its training resolution (diag_pose_teacher
+    # r4 runs) — so 128x192 is the better-margin config. It is NOT the
+    # default because the remote-compile tunnel twice hung >40 min on the
+    # hires train-step HLO (r4: out/smoke_hires*), while every 64x96 graph
+    # is in the persistent compile cache; run --image 128 192 when the
+    # compile path is reliable.
+    ap.add_argument("--image", type=int, nargs=2, default=(64, 96))
     ap.add_argument("--out", default="out/flagship_r04")
     ap.add_argument("--eval_limit", type=int, default=None)
     ap.add_argument("--cache_ab", type=int, default=25,
@@ -200,10 +202,10 @@ def main():
     # on top of the IPO-Net prediction.
     arms = {
         "heldout_views_pred_pose": (spec(0), True, 0),
-        "heldout_views_pred_refined": (spec(0), True, 600),
+        "heldout_views_pred_refined": (spec(0), True, 400),
         "heldout_views_gt_pose": (spec(0), False, 0),
         "heldout_scene_pred_pose": (spec(17), True, 0),
-        "heldout_scene_pred_refined": (spec(17), True, 600),
+        "heldout_scene_pred_refined": (spec(17), True, 400),
         "heldout_scene_gt_pose": (spec(17), False, 0),
     }
     baselines = {}
