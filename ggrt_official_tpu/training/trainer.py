@@ -119,7 +119,12 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
             distill = sup_depth_loss(
                 inv_depths, rend[None, None], min_d, max_d
             )
-            pose_loss = sfm_loss + cfg.train.pose_depth_distill * distill
+            # Accumulate onto the (sfm_weight-scaled) warp term — r4
+            # attempt 3a silently re-included the full sfm term here by
+            # rebuilding pose_loss from sfm_loss, which made sfm_weight a
+            # no-op whenever distill was on (bit-identical run to
+            # attempt 2; caught via metrics.jsonl replay).
+            pose_loss = pose_loss + cfg.train.pose_depth_distill * distill
         if cfg.train.pose_render_grad and cfg.train.use_pred_pose:
             # rgb loss reaches IPO-Net through the rasterizer's camera
             # gradients (see config.pose_render_grad); in pose_only the
