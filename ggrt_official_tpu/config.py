@@ -166,6 +166,15 @@ class TrainCfg:
     # diverged to R 152 deg — the render-camera path is the signal that
     # remains.
     pose_teacher_weight: float = 0.0
+    # Identity-anchor regularizer on the predicted relative-pose vectors,
+    # pose_only stage: weight * mean(|vec|^2) over views and iterates.
+    # With the warp term off (sfm_weight 0) NOTHING constrains the pose
+    # head while depth distillation shifts the shared trunk's features —
+    # r4 attempt 3c exploded to pose_vec_norm ~1.2e6 within 500
+    # distill-only steps. The anchor pins the head's outputs to identity
+    # (no GT poses involved); test-time refinement then descends the warp
+    # basin from a clean start. 0 = off.
+    pose_anchor_weight: float = 0.0
     # Weight of the photometric warp (sfm) term in the pose_only loss.
     # 1.0 = reference parity. On noise-textured synthetic scenes the warp
     # loss floors at the automask level (r4 flagship attempts 1-2: sfm flat

@@ -130,6 +130,13 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
             # gradients (see config.pose_render_grad); in pose_only the
             # gaussian branch's grads are masked by the state machine.
             pose_loss = pose_loss + coarse_loss
+        if cfg.train.pose_anchor_weight > 0.0:
+            # Identity anchor on the pose head (config.pose_anchor_weight):
+            # keeps rel-pose outputs bounded while depth distillation moves
+            # the shared trunk underneath them.
+            pose_loss = pose_loss + cfg.train.pose_anchor_weight * jnp.mean(
+                jnp.sum(rel_poses**2, axis=-1)
+            )
         teacher = None
         if cfg.train.pose_teacher_weight > 0.0:
             # Teacher-render pose loss (config.pose_teacher_weight): render

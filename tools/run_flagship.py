@@ -78,6 +78,10 @@ def main():
     # its depth-limited floor (diag_pose_teacher: 4.07 deg from 5.39 with
     # IPO depth; 2.2 with GT depth).
     ap.add_argument("--sfm_weight", type=float, default=0.0)
+    # Identity anchor (config.pose_anchor_weight): required with
+    # sfm_weight 0 — without it the pose head explodes (pose_vec_norm
+    # ~1.2e6, r4 attempt 3c) as distillation shifts the shared trunk.
+    ap.add_argument("--pose_anchor", type=float, default=0.1)
     # The warp-refinement floor is texture/depth limited and drops with
     # resolution — 4.07 deg at 64x96 vs 3.53 at 128x192 even with the
     # depth net evaluated OFF its training resolution (diag_pose_teacher
@@ -97,7 +101,8 @@ def main():
     defaults = all(
         getattr(args, k) == ap.get_default(k)
         for k in ("nerf", "pose", "scenes", "distill", "image", "eval_limit",
-                  "lrate_pose", "pred_pose", "render_grad", "sfm_weight")
+                  "lrate_pose", "pred_pose", "render_grad", "sfm_weight",
+                  "pose_anchor")
     )
 
     import jax
@@ -137,6 +142,7 @@ def main():
     cfg.train.sfm_valid_mask = True
     cfg.train.sfm_oob_weight = 0.1
     cfg.train.sfm_weight = args.sfm_weight
+    cfg.train.pose_anchor_weight = args.pose_anchor
     cfg.train.pose_depth_distill = args.distill
     cfg.train.lrate_pose = args.lrate_pose
     cfg.train.n_tensorboard = 100
