@@ -92,9 +92,16 @@ def measure(profile_dir=None):
     # dup=8's div/mod compiles to shifts and dup=6's does not. Env
     # override kept for A/B sweeps.
     max_dup = int(_os.environ.get("GGRT_BENCH_MAX_DUP", "8"))
+    # Screen-tile shape (round 4 made it a parameter end-to-end; round 5
+    # measures it on device via tools/diag_tile_shape.py — override with
+    # GGRT_BENCH_TILE_SHAPE="8x64"; empty = the library default).
+    tile_env = _os.environ.get("GGRT_BENCH_TILE_SHAPE", "")
+    tile_shape = (
+        tuple(int(x) for x in tile_env.split("x")) if tile_env else None
+    )
     policy = choose_max_per_tile(
         extr, intr, near, far, (H, W), bg, means, cov, sh, opa,
-        target_db=45.0, max_dup=max_dup,
+        target_db=45.0, max_dup=max_dup, tile_shape=tile_shape,
     )
     kw = dict(
         max_per_tile=policy["max_per_tile"],
@@ -106,6 +113,8 @@ def measure(profile_dir=None):
         # 56.4 dB; both above the 45 dB bar of tests/test_rasterizer.py).
         binning_mode=_os.environ.get("GGRT_BENCH_BINNING", "banked"),
     )
+    if tile_shape is not None:
+        kw["tile_shape"] = tile_shape
 
     # --- correctness gate (VERDICT weak#6): pallas vs XLA compositor on the
     # real device, small scene, before timing anything.
@@ -162,9 +171,13 @@ def measure(profile_dir=None):
     pg = project_gaussians(
         means[0], cov[0], sh[0], opa[0], extr[0], intr[0], near[0], far[0], (H, W)
     )
+    _tile_kw = (
+        {"tile_h": tile_shape[0], "tile_w": tile_shape[1]} if tile_shape else {}
+    )
     ov = jax.jit(
         lambda pg: binning_overflow_stats(pg, (H, W), max_dup=kw["max_dup"],
-                                          max_per_tile=kw["max_per_tile"])
+                                          max_per_tile=kw["max_per_tile"],
+                                          **_tile_kw)
     )(pg)
     overflow = {k: float(v) for k, v in ov.items()}
 
@@ -182,18 +195,23 @@ def measure(profile_dir=None):
             wm[0], wc[0], wsh[0], wo[0], wext[0], wint[0], wnear[0], wfar[0],
             (WH, WW),
         )
+        wtile_env = _os.environ.get("GGRT_BENCH_WAYMO_TILE_SHAPE", tile_env)
+        wtile = (
+            tuple(int(x) for x in wtile_env.split("x")) if wtile_env else None
+        )
         wpolicy = choose_max_per_tile(
             wext, wint, wnear, wfar, (WH, WW), wbg, wm, wc, wsh, wo,
-            target_db=45.0, max_dup=kw["max_dup"],
+            target_db=45.0, max_dup=kw["max_dup"], tile_shape=wtile,
         )
         wbinning = _os.environ.get("GGRT_BENCH_WAYMO_BINNING", kw["binning_mode"])
+        _wtile_kw = {"tile_shape": wtile} if wtile else {}
 
         def wloss(wm, wc, wsh, wo, wext):
             img = raster.render(
                 wext, wint, wnear, wfar, (WH, WW), wbg, wm, wc, wsh, wo,
                 backend=backend, max_per_tile=wpolicy["max_per_tile"],
                 max_dup=kw["max_dup"], tile_chunk=kw["tile_chunk"],
-                binning_mode=wbinning,
+                binning_mode=wbinning, **_wtile_kw,
             )
             return jnp.mean(img**2)
 
@@ -209,14 +227,18 @@ def measure(profile_dir=None):
             wout = wstep(wm, wc, wsh, wo, wext)
         jax.block_until_ready(wout)
         wdt = (time.perf_counter() - t0) / 5
+        _wov_kw = (
+            {"tile_h": wtile[0], "tile_w": wtile[1]} if wtile else {}
+        )
         wov = jax.jit(
             lambda pg: binning_overflow_stats(
                 pg, (WH, WW), max_dup=kw["max_dup"],
-                max_per_tile=wpolicy["max_per_tile"],
+                max_per_tile=wpolicy["max_per_tile"], **_wov_kw,
             )
         )(pgw)
         waymo = {
             "resolution": [WH, WW],
+            "tile_shape": list(wtile) if wtile else None,
             "n_gaussians": int(wm.shape[1]),
             "step_ms": round(wdt * 1e3, 2),
             "pixels_per_s": round(WH * WW / wdt, 1),
@@ -234,6 +256,7 @@ def measure(profile_dir=None):
         "vs_baseline": round(pixels_per_s / baseline, 3),
         "detail": {
             "resolution": [H, W],
+            "tile_shape": list(tile_shape) if tile_shape else None,
             "n_gaussians": int(g),
             "backend": backend,
             "step_ms": round(dt * 1e3, 2),

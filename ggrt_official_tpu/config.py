@@ -175,6 +175,18 @@ class TrainCfg:
     # (no GT poses involved); test-time refinement then descends the warp
     # basin from a clean start. 0 = off.
     pose_anchor_weight: float = 0.0
+    # Pose self-distillation weight (pose_only; 0 = off). When a batch
+    # carries a "pose_target" entry — per-source-view 6-vec relative poses
+    # produced SELF-SUPERVISED by test-time photometric warp refinement
+    # (evaluation/harness.py Evaluator.pose_targets: dual-start Adam on the
+    # raw pose vecs, no GT poses involved) — IPO-Net regresses them with an
+    # iteration-weighted MSE over its GRU iterates. This amortizes the
+    # measured-working optimization (r4 matrix: direct warp descent reaches
+    # R ~3.5-4 deg from the 8.2-deg identity baseline, while every
+    # amortized warp-loss gradient through the network is flat or harmful)
+    # into the feed-forward predictor: regression is a well-conditioned
+    # objective where the warp loss through the net is not.
+    pose_selfdistill_weight: float = 0.0
     # Weight of the photometric warp (sfm) term in the pose_only loss.
     # 1.0 = reference parity. On noise-textured synthetic scenes the warp
     # loss floors at the automask level (r4 flagship attempts 1-2: sfm flat

@@ -82,6 +82,38 @@ class Evaluator:
             loss_fn(vec_a) <= loss_fn(vec_b), lambda: vec_a, lambda: vec_b
         )
 
+    def pose_targets(self, batch_raw: dict, steps: int = 400,
+                     inv_depth=None) -> np.ndarray:
+        """Self-supervised pose targets for training-time pose distillation
+        (config.pose_selfdistill_weight): run the SAME dual-start warp
+        refinement the eval uses (IPO-Net prediction + identity starts,
+        keep the lower-loss result) on a training view and return the
+        refined per-source-view 6-vec relative poses. No GT poses anywhere.
+
+        inv_depth overrides the warp geometry ((1, h, w) inverse depth);
+        pass the teacher render's inverse depth at train time — the r4
+        matrix showed the refinement floor is depth-limited (R -> 2.2 deg
+        with GT depth vs 4.07 with IPO depth at 64x96), and at target-gen
+        time the teacher field's depth is sitting right there. Defaults to
+        IPO-Net's own depth (the only option at test time)."""
+        batch = self._prepare_batch(batch_raw)
+        min_d, max_d = batch["depth_range"][0, 0], batch["depth_range"][0, 1]
+        ipo_inv_depth, rel_poses = self._pose(
+            self.params, batch["rgb"], batch["src_rgbs"],
+            batch["camera"], batch["src_cameras"], min_d, max_d,
+        )
+        if inv_depth is None:
+            inv_depth = ipo_inv_depth
+        tgt = batch["rgb"].transpose(0, 3, 1, 2)
+        refs = batch["src_rgbs"][0].transpose(0, 3, 1, 2)
+        K = batch["camera"][0, 2:18].reshape(4, 4)[:3, :3][None]
+        refK = batch["src_cameras"][0, :, 2:18].reshape(-1, 4, 4)[:, :3, :3]
+        vec = self._refine(
+            rel_poses[:, -1, :], jnp.asarray(inv_depth), tgt, refs, K, refK,
+            steps=steps,
+        )
+        return np.asarray(vec)
+
     def _pose_impl(self, params, rgb, src_rgbs, camera, src_cameras, min_d, max_d):
         inv_depths, rel_poses, _, _ = self.model.apply(
             params, rgb, src_rgbs, camera, src_cameras, min_d, max_d,
@@ -164,6 +196,12 @@ class Evaluator:
         out = {
             "psnr": float(psnr_v),
             "ssim": float(ssim_v),
+            # Empty-render canary (VERDICT r4 weak #6): a diverged pose run
+            # can push every Gaussian out of frustum and render pure
+            # background; psnr alone can't distinguish that from a blurry
+            # render, and two different diverged variants then report
+            # identical psnr. Near-zero variance flags it explicitly.
+            "pred_var": float(jnp.var(pred)),
             "seconds": dt,
             "pred": np.asarray(pred),
             "gt": np.asarray(gt_img),
@@ -205,7 +243,14 @@ class Evaluator:
 
         summary = {}
         for key in rows[0]:
-            summary[key] = float(np.mean([r[key] for r in rows]))
+            vals = np.asarray([r[key] for r in rows], np.float64)
+            # ATE-aligned pose metrics are NaN when the sim3 fit is
+            # degenerate (metrics.evaluate_pose_errors conditioning gate);
+            # average the valid views only, or propagate NaN (serialized as
+            # null by the writers) when every view's fit is degenerate.
+            finite = vals[np.isfinite(vals)]
+            summary[key] = float(finite.mean()) if finite.size else float("nan")
+        summary["rendered_empty"] = bool(summary.get("pred_var", 1.0) < 1e-6)
         summary["n_views"] = n
         summary["render_ms"] = self.time_render(collate_batch(dataset[n - 1]))
         if "lpips" not in summary:
@@ -216,8 +261,17 @@ class Evaluator:
             summary["lpips"] = None
             summary["lpips_status"] = "unavailable: no weights offline"
         if out_dir:
+            def _no_nan(obj):
+                if isinstance(obj, dict):
+                    return {k: _no_nan(v) for k, v in obj.items()}
+                if isinstance(obj, list):
+                    return [_no_nan(v) for v in obj]
+                if isinstance(obj, float) and not np.isfinite(obj):
+                    return None  # strict-JSON null instead of bare NaN
+                return obj
+
             with open(os.path.join(out_dir, "results.json"), "w") as f:
-                json.dump({"summary": summary, "per_view": rows}, f, indent=2)
+                json.dump(_no_nan({"summary": summary, "per_view": rows}), f, indent=2)
             # Predicted-vs-GT camera wireframes (the reference's visdom pose
             # view, eval_ggrt.py:253,279 — written to a png instead).
             try:

@@ -75,5 +75,32 @@ def evaluate_pose_errors(pred_c2w: jnp.ndarray, gt_c2w: jnp.ndarray) -> dict:
     aligned = align_ate_c2b_use_a2b(pred_c2w, gt_c2w)
     out = evaluate_camera_alignment(aligned, gt_c2w)
     raw = evaluate_camera_alignment(pred_c2w, gt_c2w)
+
+    # Umeyama conditioning gate (VERDICT r4 weak #7): the sim3 is fitted on
+    # the camera CENTERS. The observed pathology (r4 flagship arms: aligned
+    # R errors ~95-124 deg while unaligned read ~8 deg, for every arm
+    # including GT-pose ones) is a PREDICTED constellation whose centers
+    # nearly coincide (near-identity relative poses all place the source
+    # camera at the target), so the fitted scale explodes and the fitted
+    # rotation is arbitrary. Gate on the pred/GT center-spread ratio: the
+    # fit is meaningless when the predicted spread is a small fraction of
+    # (or hugely exceeds) the GT spread, when the GT itself is coincident,
+    # or with < 3 views. Gated metrics report NaN plus a validity flag;
+    # the *_unaligned protocol metrics always report.
+    def _spread(c2w):
+        c = c2w[:, :3, 3]
+        return jnp.sqrt(jnp.mean(jnp.sum((c - c.mean(axis=0)) ** 2, axis=-1)))
+
+    n = gt_c2w.shape[0]
+    sp_pred, sp_gt = _spread(pred_c2w), _spread(gt_c2w)
+    ratio = sp_pred / jnp.maximum(sp_gt, 1e-9)
+    ok = jnp.logical_and(
+        jnp.asarray(n >= 3),
+        jnp.logical_and(
+            sp_gt > 1e-8, jnp.logical_and(ratio > 0.2, ratio < 5.0)
+        ),
+    )
+    out = {k: jnp.where(ok, v, jnp.nan) for k, v in out.items()}
+    out["alignment_valid"] = ok.astype(jnp.float32)
     out.update({f"{k}_unaligned": v for k, v in raw.items()})
     return out

@@ -130,6 +130,20 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
             # gradients (see config.pose_render_grad); in pose_only the
             # gaussian branch's grads are masked by the state machine.
             pose_loss = pose_loss + coarse_loss
+        selfd = None
+        if cfg.train.pose_selfdistill_weight > 0.0 and "pose_target" in batch:
+            # Pose self-distillation (config.pose_selfdistill_weight):
+            # regress the refined 6-vec targets (produced self-supervised by
+            # warp descent, Evaluator.pose_targets) with the reference's
+            # iteration-weighted sequence loss (gamma 0.85, the weighting
+            # sup_depth_loss uses on the same GRU iterates,
+            # /root/reference/ggrt/loss/criterion.py:82-115).
+            tgt_vec = jax.lax.stop_gradient(batch["pose_target"][0])  # (nv, 6)
+            n_it = rel_poses.shape[1]
+            gammas = 0.85 ** jnp.arange(n_it - 1, -1, -1, dtype=rel_poses.dtype)
+            per_it = jnp.mean((rel_poses - tgt_vec[:, None, :]) ** 2, axis=(0, 2))
+            selfd = jnp.sum(gammas * per_it) / jnp.sum(gammas)
+            pose_loss = pose_loss + cfg.train.pose_selfdistill_weight * selfd
         if cfg.train.pose_anchor_weight > 0.0:
             # Identity anchor on the pose head (config.pose_anchor_weight):
             # keeps rel-pose outputs bounded while depth distillation moves
@@ -180,6 +194,8 @@ def make_pretrain_loss_fn(model: GGRtModel, cfg: GGRtConfig, machine_id=None):
         }
         if distill is not None:
             aux["pose_distill_loss"] = distill
+        if selfd is not None:
+            aux["pose_selfdistill_loss"] = selfd
         if teacher is not None:
             aux["pose_teacher_loss"] = teacher
         return loss_all, aux

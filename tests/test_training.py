@@ -136,6 +136,102 @@ class TestTrainer:
         assert max_change(p0, p1) > 0.0, "pose params must move in pose_only"
 
 
+class TestPoseSelfDistill:
+    """Pose self-distillation (config.pose_selfdistill_weight): IPO-Net
+    regresses refined pose targets attached to the batch as `pose_target`
+    (the round-5 amortization of the measured-working warp descent)."""
+
+    def test_selfdistill_term_and_gradient(self, dataset):
+        from ggrt_official_tpu.training.trainer import GGRtTrainer
+
+        cfg = tiny_cfg()
+        cfg.train.pose_selfdistill_weight = 10.0
+        cfg.train.sfm_weight = 0.0
+        cfg.train.pose_anchor_weight = 0.01
+        trainer = GGRtTrainer(cfg)
+        batch = collate_batch(dataset[0])
+        trainer.init_full(batch)
+
+        nv = batch["src_cameras"].shape[1]
+        rng = np.random.default_rng(0)
+        tgt = (rng.standard_normal((nv, 6)) * 0.05).astype(np.float32)
+
+        # Without the key: the stage-2a graph, no selfdistill aux.
+        aux0 = trainer.train_iteration(batch, machine="pose_only")
+        assert "pose_selfdistill_loss" not in aux0
+
+        b2 = dict(batch)
+        b2["pose_target"] = tgt[None]
+        aux = trainer.train_iteration(b2, machine="pose_only")
+        assert np.isfinite(float(aux["pose_selfdistill_loss"]))
+        # The regression must actually move the predictions toward the
+        # targets within a few steps (well-conditioned objective — the
+        # whole point vs the warp loss).
+        d_first = float(aux["pose_selfdistill_loss"])
+        for _ in range(12):
+            aux = trainer.train_iteration(b2, machine="pose_only")
+        d_last = float(aux["pose_selfdistill_loss"])
+        assert d_last < d_first, (d_first, d_last)
+
+    def test_gate_requires_weight_and_key(self, dataset):
+        from ggrt_official_tpu.training.trainer import GGRtTrainer
+
+        cfg = tiny_cfg()
+        cfg.train.pose_selfdistill_weight = 0.0
+        trainer = GGRtTrainer(cfg)
+        batch = collate_batch(dataset[0])
+        trainer.init_full(batch)
+        b2 = dict(batch)
+        nv = batch["src_cameras"].shape[1]
+        b2["pose_target"] = np.zeros((1, nv, 6), np.float32)
+        aux = trainer.train_iteration(b2, machine="pose_only")
+        assert "pose_selfdistill_loss" not in aux  # weight 0 -> term off
+
+
+class TestAlignmentConditioningGate:
+    """VERDICT r4 weak #7: Umeyama-aligned pose metrics must be NaN-gated
+    when the camera-center constellation makes the sim3 fit degenerate."""
+
+    def test_coincident_centers_flagged_degenerate(self):
+        from ggrt_official_tpu.evaluation.metrics import evaluate_pose_errors
+
+        n = 4
+        c2w = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        err = evaluate_pose_errors(jnp.asarray(c2w), jnp.asarray(c2w))
+        assert float(err["alignment_valid"]) == 0.0
+        assert np.isnan(float(err["R_error_mean"]))
+        # Unaligned metrics always report (0.03 deg = float32 acos noise).
+        assert float(err["R_error_mean_unaligned"]) < 0.1
+
+    def test_coincident_pred_vs_spread_gt_flagged(self):
+        """The exact r4 pathology: near-identity predictions put every
+        source camera at the target center while GT centers are spread —
+        the sim3 scale explodes and aligned R errors read ~100 deg."""
+        from ggrt_official_tpu.evaluation.metrics import evaluate_pose_errors
+
+        rng = np.random.default_rng(2)
+        n = 4
+        gt = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        gt[:, :3, 3] = rng.standard_normal((n, 3)).astype(np.float32)
+        pred = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))  # coincident
+        err = evaluate_pose_errors(jnp.asarray(pred), jnp.asarray(gt))
+        assert float(err["alignment_valid"]) == 0.0
+        assert np.isnan(float(err["R_error_mean"]))
+        assert np.isfinite(float(err["R_error_mean_unaligned"]))
+
+    def test_spread_constellation_valid(self):
+        from ggrt_official_tpu.evaluation.metrics import evaluate_pose_errors
+
+        rng = np.random.default_rng(1)
+        n = 6
+        c2w = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        c2w[:, :3, 3] = rng.standard_normal((n, 3)).astype(np.float32)
+        err = evaluate_pose_errors(jnp.asarray(c2w), jnp.asarray(c2w))
+        assert float(err["alignment_valid"]) == 1.0
+        # 0.03 deg = float32 acos noise on identical rotations.
+        assert float(err["R_error_mean"]) < 0.1
+
+
 class TestFinetuneTrainer:
     @pytest.mark.slow
     def test_scan_tiles_match_unrolled(self, dataset):

@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--pose", type=int, default=500)
     ap.add_argument("--scenes", type=int, default=2)
     ap.add_argument("--limit", type=int, default=4, help="eval views per arm")
-    ap.add_argument("--out", default=str(ROOT / "POSE_SWEEP_r04.json"))
+    ap.add_argument("--out", default=str(ROOT / "POSE_SWEEP_r05.json"))
     ap.add_argument("--only", nargs="*", default=None, help="variant names")
     args = ap.parse_args()
 
@@ -135,6 +135,15 @@ def main():
         # optimization budget.
         "staged_lr1e3": (0, 0, staged, {"lrate_pose": 1e-3}),
         "staged_lr3e3": (0, 0, staged, {"lrate_pose": 3e-3}),
+        # Round-5 flagship recipe at sweep scale: distill-only warm, then
+        # self-supervised pose-target generation (teacher-depth warp
+        # descent) and regression onto the targets
+        # (config.pose_selfdistill_weight; run_flagship.py stages 2a/2b).
+        "staged_selfdistill": (0, 0, staged,
+                               {"pose_selfdistill_weight": 10.0,
+                                "sfm_weight": 0.0,
+                                "pose_anchor_weight": 0.01,
+                                "pose_depth_distill": 1.0}),
     }
     if args.only:
         variants = {k: v for k, v in variants.items() if k in args.only}
@@ -178,8 +187,52 @@ def main():
         trainer = GGRtTrainer(cfg)
         out_dir = str(ROOT / "out" / f"pose_sweep_{name}")
         try:
-            train_loop(trainer, batches(), out_dir,
-                       machine_schedule=schedule, resume=False)
+            if overrides.get("pose_selfdistill_weight", 0.0) > 0.0:
+                # Flagship stage structure (run_flagship.py): nerf ->
+                # distill-only warm (1/3 of pose budget) -> target-gen ->
+                # selfdistill; targets attach to the SAME batch stream.
+                targets = {}
+
+                def sbatches():
+                    import itertools
+
+                    for i in itertools.count():
+                        si = i % len(train_ds)
+                        vi = (i // len(train_ds)) % len(train_ds[si])
+                        b = collate_batch(train_ds[si][vi])
+                        t = targets.get((si, vi))
+                        if t is not None:
+                            b["pose_target"] = t[None]
+                        yield b
+
+                warm = args.pose // 3
+                train_loop(trainer, sbatches(), out_dir, n_iters=args.nerf,
+                           machine_schedule=lambda s: "nerf_only", resume=False)
+                train_loop(trainer, sbatches(), out_dir, n_iters=warm,
+                           machine_schedule=lambda s: "pose_only", resume=False)
+                ev_t = Evaluator(cfg, trainer.state.params)
+                for si, d in enumerate(train_ds):
+                    for vi in range(len(d)):
+                        braw = collate_batch(d[vi])
+                        bb = ev_t._prepare_batch(braw)
+                        ret, _ = ev_t._render(ev_t.params, bb)
+                        inv = None
+                        if ret["depth"] is not None:
+                            lo = float(bb["depth_range"][0, 0])
+                            hi = float(bb["depth_range"][0, 1])
+                            inv = 1.0 / np.clip(
+                                np.asarray(ret["depth"][0, 0]), lo, hi
+                            )[None, None]
+                        targets[(si, vi)] = ev_t.pose_targets(
+                            braw, steps=400, inv_depth=inv
+                        )
+                train_loop(trainer, sbatches(), out_dir,
+                           n_iters=args.pose - warm,
+                           machine_schedule=lambda s: "pose_only",
+                           resume=False)
+            else:
+                train_loop(trainer, batches(), out_dir,
+                           machine_schedule=schedule, resume=False)
             ev = Evaluator(cfg, trainer.state.params)
             test_ds = SyntheticPlanesDataset(spec(0), mode="test",
                                              num_source_views=4)
@@ -194,6 +247,11 @@ def main():
                 "R_err_unaligned": round(pred.get("R_error_mean_unaligned",
                                                   float("nan")), 4),
                 "R_err_identity_baseline": round(identity_baseline(test_ds), 4),
+                # Empty-render canary (VERDICT r4 weak #6): two diverged
+                # variants reported IDENTICAL psnr 5.888 in the r4 sweeps —
+                # both rendered pure background. Make that state explicit.
+                "pred_var": round(pred.get("pred_var", float("nan")), 6),
+                "rendered_empty": bool(pred.get("rendered_empty", False)),
                 "train_s": round(time.perf_counter() - t0, 1),
                 "schedule": "staged" if schedule is staged else "joint",
                 **{k: v for k, v in overrides.items()},

@@ -21,10 +21,10 @@ XLA path instead of crashing Mosaic:
   * scatter_add_rows with a value width beyond the kernel's sublane
     group (segment_sum.py falls back to the XLA scatter).
 
-Writes SHAPE_GATE_r04.json at the repo root (or --out). Exit 0 iff every
+Writes SHAPE_GATE_r05.json at the repo root (or --out). Exit 0 iff every
 cell passed. Runtime: minutes with a warm /tmp/jax_tpu_cache.
 
-Usage: python tools/shape_gate.py [--skip waymo] [--out SHAPE_GATE_r04.json]
+Usage: python tools/shape_gate.py [--skip waymo] [--out SHAPE_GATE_r05.json]
 """
 from __future__ import annotations
 
@@ -41,6 +41,8 @@ sys.path.insert(0, str(ROOT))
 SHAPES = {
     "tiny_eval": dict(shape=(32, 64), k=128, gpp=3, pairs=2),
     "flagship": dict(shape=(64, 96), k=128, gpp=2, pairs=2),
+    # Round-5 default flagship resolution (VERDICT r4 #1).
+    "flagship_hires": dict(shape=(128, 192), k=256, gpp=2, pairs=2),
     "bench": dict(shape=(320, 448), k=1024, gpp=3, pairs=2),
     "waymo": dict(shape=(640, 960), k=8192, gpp=3, pairs=2),
 }
@@ -49,7 +51,7 @@ SHAPES = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", nargs="*", default=[])
-    ap.add_argument("--out", default=str(ROOT / "SHAPE_GATE_r04.json"))
+    ap.add_argument("--out", default=str(ROOT / "SHAPE_GATE_r05.json"))
     ap.add_argument("--iters", type=int, default=2)
     args = ap.parse_args()
 
