@@ -100,6 +100,15 @@ def evaluate_pose_errors(pred_c2w: jnp.ndarray, gt_c2w: jnp.ndarray) -> dict:
             sp_gt > 1e-8, jnp.logical_and(ratio > 0.2, ratio < 5.0)
         ),
     )
+    # Second condition: the sim3 is a GAUGE fix — it can only remove a
+    # global transform, so a fit that leaves rotations far WORSE than the
+    # raw (unaligned-gauge) comparison was steered by center noise, not
+    # geometry (smoke runs: aligned 148 deg vs unaligned 10 deg with a
+    # spread ratio inside the window). Such aligned numbers are not
+    # rotation measurements; gate them.
+    ok = jnp.logical_and(
+        ok, out["R_error_mean"] <= raw["R_error_mean"] + 20.0
+    )
     out = {k: jnp.where(ok, v, jnp.nan) for k, v in out.items()}
     out["alignment_valid"] = ok.astype(jnp.float32)
     out.update({f"{k}_unaligned": v for k, v in raw.items()})
