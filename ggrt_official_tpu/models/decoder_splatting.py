@@ -45,14 +45,18 @@ class DecoderSplatting:
         # the average per-tile demand gaussians/tiles, and a saturated cap
         # silently starves most pixels of coverage AND gradient (measured:
         # a 32x64 synthetic run stalled at PSNR ~8 with cap 128 vs demand
-        # ~2k; raising the cap fixed it — see ROADMAP.md). Only images
-        # with < 32 tiles are affected, where the raised cap is cheap; at
-        # production resolutions the configured nearest-K tradeoff stands.
+        # ~2k; raising the cap fixed it — see ROADMAP.md). Threshold < 64
+        # tiles: the round-5 128x192 flagship lands on EXACTLY 32 tiles
+        # (16x2 of 8x128) and the original `< 32` left every tile at the
+        # configured K=128 against ~18k demand — the nerf stage stalled at
+        # ~6 dB where 64x96 (8 tiles, auto-raised) reached ~14. At
+        # production resolutions (320x448 -> 160 tiles) the configured
+        # nearest-K tradeoff and the quality-aware cap policy stand.
         g = gaussians.means.shape[1]
         h, w = image_shape
         num_tiles = max(1, -(-h // raster.tiling.TILE_H) * -(-w // raster.tiling.TILE_W))
         max_per_tile = self.cfg.max_per_tile
-        if num_tiles < 32:
+        if num_tiles < 64:
             demand = -(-4 * g // num_tiles)
             max_per_tile = max(
                 max_per_tile, min(-(-demand // 128) * 128, 16384)

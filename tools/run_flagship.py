@@ -98,6 +98,11 @@ def main():
     ap.add_argument("--selfdistill_steps", type=int, default=400,
                     help="warp-descent steps per training view when "
                          "generating pose targets")
+    ap.add_argument("--selfdistill_rounds", type=int, default=1,
+                    help="EM-style rounds: regenerate targets from the "
+                         "current predictions (dual-start refinement keeps "
+                         "the better basin) and train again; the pose "
+                         "budget after warm-up is split across rounds")
     ap.add_argument("--image", type=int, nargs=2, default=(128, 192))
     ap.add_argument("--ceiling", type=int, default=1500,
                     help="overfit-ceiling arm: train a fresh G-3DGS this "
@@ -118,7 +123,8 @@ def main():
         for k in ("nerf", "pose", "pose_warm", "scenes", "distill", "image",
                   "eval_limit", "lrate_pose", "pred_pose", "render_grad",
                   "sfm_weight", "pose_anchor", "selfdistill",
-                  "selfdistill_steps", "ceiling", "platform")
+                  "selfdistill_steps", "selfdistill_rounds", "ceiling",
+                  "platform")
     )
 
     import jax
@@ -199,11 +205,17 @@ def main():
                    n_iters=pose_warm, machine_schedule=lambda s: "pose_only",
                    resume=False)
 
-    # Self-supervised pose-target generation (teacher-depth warp descent).
+    # Self-supervised pose-target generation (teacher-depth warp descent)
+    # + selfdistill stage, optionally repeated EM-style: each round
+    # regenerates targets starting from the CURRENT predictions (the
+    # dual-start refinement keeps whichever basin is lower-loss), so a
+    # well-trained round-1 predictor seeds a deeper round-2 descent.
     evaluator = Evaluator(cfg, trainer.state.params)
-    target_stats = {"per_view_R_err": [], "seconds": 0.0}
-    if args.selfdistill > 0 and args.pose > pose_warm:
+    target_stats = {"per_view_R_err": [], "seconds": 0.0, "rounds": []}
+
+    def generate_targets():
         tg0 = time.perf_counter()
+        errs = []
         for si, d in enumerate(train_ds):
             for vi in range(len(d)):
                 braw = collate_batch(d[vi])
@@ -234,22 +246,28 @@ def main():
                     jnp.broadcast_to(jnp.asarray(tp), gt.shape), jnp.asarray(vec)
                 )
                 err = evaluate_camera_alignment(pred, jnp.asarray(gt))
-                target_stats["per_view_R_err"].append(
-                    round(float(err["R_error_mean"]), 3)
-                )
-        target_stats["seconds"] = round(time.perf_counter() - tg0, 1)
-        target_stats["R_err_mean"] = round(
-            float(np.mean(target_stats["per_view_R_err"])), 4
-        )
+                errs.append(round(float(err["R_error_mean"]), 3))
+        target_stats["per_view_R_err"] = errs
+        target_stats["seconds"] += round(time.perf_counter() - tg0, 1)
+        target_stats["R_err_mean"] = round(float(np.mean(errs)), 4)
+        target_stats["rounds"].append(target_stats["R_err_mean"])
         print("pose_targets", json.dumps(
             {k: v for k, v in target_stats.items() if k != "per_view_R_err"}
         ), flush=True)
 
-    # Stage 2b: selfdistill pose stage.
     if args.pose > pose_warm:
-        train_loop(trainer, batches(), f"{args.out}/stage_selfdistill",
-                   n_iters=args.pose - pose_warm,
-                   machine_schedule=lambda s: "pose_only", resume=False)
+        rounds = max(args.selfdistill_rounds, 1)
+        budget = args.pose - pose_warm
+        per_round = budget // rounds
+        for r in range(rounds):
+            if args.selfdistill > 0:
+                evaluator.params = trainer.state.params
+                generate_targets()
+            n_r = per_round if r < rounds - 1 else budget - per_round * (rounds - 1)
+            train_loop(trainer, batches(),
+                       f"{args.out}/stage_selfdistill{r if r else ''}",
+                       n_iters=n_r,
+                       machine_schedule=lambda s: "pose_only", resume=False)
     train_s = time.perf_counter() - t0
 
     evaluator.params = trainer.state.params  # reuse the compiled graphs
