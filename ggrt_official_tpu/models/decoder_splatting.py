@@ -58,8 +58,18 @@ class DecoderSplatting:
         max_per_tile = self.cfg.max_per_tile
         if num_tiles < 64:
             demand = -(-4 * g // num_tiles)
+            # Constant compositor-slot budget (128k pair slots total): at 8
+            # tiles (64x96) this reproduces the r4 flagship's K=16384
+            # exactly; at 32 tiles (128x192) it yields K=4096 — the same
+            # total chunk work per render instead of 4x (measured: the
+            # uncapped raise ran the 128x192 train step at 3-5 s vs ~1 s at
+            # 64x96). Depth-ordered nearest-K plus the early-terminating
+            # compositor makes the dropped tail occluded content (r2
+            # cap-impact: K=2048 is already 73.6 dB vs uncapped at a far
+            # denser population).
+            budget_k = max(128, (131072 // num_tiles) // 128 * 128)
             max_per_tile = max(
-                max_per_tile, min(-(-demand // 128) * 128, 16384)
+                max_per_tile, min(-(-demand // 128) * 128, 16384, budget_k)
             )
 
         kw = dict(
