@@ -395,6 +395,14 @@ def main():
         print("bar", json.dumps(result["bar"]), flush=True)
     except (KeyError, TypeError) as e:
         result["bar"] = {"error": f"bar not computable: {e}"}
+    # Checkpoint the bar-carrying artifact NOW: the ceiling/cache stages
+    # below take tens of minutes and the round may end (or the tunnel
+    # wedge) mid-way — the on-record verdict must not depend on them
+    # (VERDICT r4 missing #2: the committed artifact lagged the claims).
+    dump(out_path, result)
+    if defaults or args.artifact:
+        dump(artifact, result)
+        print(f"artifact checkpointed after bar: {artifact}", flush=True)
 
     # Overfit-ceiling arm (VERDICT r4 weak #5): scene-0-only training,
     # GT-pose heldout-view eval — the achievable quality of this scene at
