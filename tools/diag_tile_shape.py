@@ -39,6 +39,8 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    from ggrt_official_tpu.utils.tpu_cache import purge_oversize_entries
+    purge_oversize_entries("/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 

@@ -134,6 +134,8 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
     else:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+        from ggrt_official_tpu.utils.tpu_cache import purge_oversize_entries
+        purge_oversize_entries("/tmp/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import numpy as np
