@@ -24,10 +24,17 @@ from . import metrics
 
 
 class Evaluator:
-    def __init__(self, cfg: GGRtConfig, params):
+    def __init__(self, cfg: GGRtConfig, params,
+                 refine_depth_source: str = "field",
+                 refine_depth_rounds: int = 2):
         self.cfg = cfg
         self.model = GGRtModel(cfg)
         self.params = params
+        # Test-time refinement geometry (see evaluate_view): "field"
+        # renders depth from the trained gaussian field at the current
+        # pose estimate each round; "iponet" keeps the predictor's depth.
+        self.refine_depth_source = refine_depth_source
+        self.refine_depth_rounds = refine_depth_rounds
         self.data_shim = get_data_shim(cfg.encoder)
         self._render = jax.jit(self._render_impl)
         self._pose = jax.jit(self._pose_impl)
@@ -164,17 +171,45 @@ class Evaluator:
             batch["camera"], batch["src_cameras"], min_d, max_d,
         )
         rel_final = rel_poses[:, -1, :]
+        target_pose = batch["camera"][0, -16:].reshape(4, 4)
+        nv = batch["src_cameras"].shape[1]
         if refine_steps > 0:
             tgt = batch["rgb"].transpose(0, 3, 1, 2)
             refs = batch["src_rgbs"][0].transpose(0, 3, 1, 2)
             K = batch["camera"][0, 2:18].reshape(4, 4)[:3, :3][None]
             refK = batch["src_cameras"][0, :, 2:18].reshape(-1, 4, 4)[:, :3, :3]
-            rel_final = self._refine(
-                rel_final, inv_depth, tgt, refs, K, refK, steps=refine_steps
-            )
+            # Warp-refinement depth: the r4 experiment matrix measured the
+            # refinement floor as DEPTH-limited (R -> 2.2 deg with GT depth
+            # vs 4.07 with IPO depth at 64x96), and the round-5 flagship
+            # reproduced it at eval time (train-view targets refined with
+            # teacher-render depth reached 4.8 deg while the eval arm's
+            # IPO-depth refinement moved 8.1 -> 7.8). At test time the
+            # trained field itself is available: render the target view's
+            # depth at the CURRENT pose estimate (inputs + model only, no
+            # GT anywhere), refine against it, and iterate — better poses
+            # give better depth gives better poses. IPO depth remains the
+            # fallback when the decoder has no depth output.
+            for _ in range(max(self.refine_depth_rounds, 1)):
+                inv = inv_depth
+                if self.refine_depth_source == "field":
+                    cur_c2w = relative_to_source_c2w(
+                        jnp.broadcast_to(target_pose, (nv, 4, 4)), rel_final
+                    )
+                    ctx = dict(batch["context"])
+                    ctx["extrinsics"] = cur_c2w[None]
+                    ret_d, _ = self._render(
+                        self.params, {**batch, "context": ctx}
+                    )
+                    if ret_d["depth"] is not None:
+                        lo = batch["depth_range"][0, 0]
+                        hi = batch["depth_range"][0, 1]
+                        inv = 1.0 / jnp.clip(
+                            ret_d["depth"][0, 0], lo, hi
+                        )[None, None]
+                rel_final = self._refine(
+                    rel_final, inv, tgt, refs, K, refK, steps=refine_steps
+                )
         # Pose errors: predicted source c2w vs dataset extrinsics.
-        target_pose = batch["camera"][0, -16:].reshape(4, 4)
-        nv = batch["src_cameras"].shape[1]
         pred_c2w = relative_to_source_c2w(
             jnp.broadcast_to(target_pose, (nv, 4, 4)), rel_final
         )

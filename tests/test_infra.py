@@ -225,6 +225,34 @@ class TestEvaluator:
         assert np.isfinite(row["pred_var"])
         assert row["pred"].shape == (3, 32, 64)
 
+    def test_refine_with_field_depth(self):
+        """Test-time refinement renders depth from the trained field at
+        the current pose estimate each round (round-5: the r4 matrix
+        measured the refinement floor as depth-limited, and the IPO-depth
+        eval refinement moved R 8.1 -> 7.8 while the same descent with
+        teacher-render depth reached 4.8 on train views)."""
+        from tests.test_models import tiny_cfg
+        from ggrt_official_tpu.data.datasets import (
+            SyntheticPlanesDataset, SyntheticSceneSpec, collate_batch,
+        )
+        from ggrt_official_tpu.evaluation.harness import Evaluator
+        from ggrt_official_tpu.training.trainer import GGRtTrainer
+
+        cfg = tiny_cfg()
+        ds = SyntheticPlanesDataset(
+            SyntheticSceneSpec(n_views=8, image_size=(32, 64)),
+            mode="test", num_source_views=3,
+        )
+        trainer = GGRtTrainer(cfg)
+        trainer.init_full(collate_batch(ds[0]))
+        for source, rounds in (("field", 2), ("iponet", 1)):
+            ev = Evaluator(cfg, trainer.state.params,
+                           refine_depth_source=source,
+                           refine_depth_rounds=rounds)
+            row = ev.evaluate_view(collate_batch(ds[0]), refine_steps=3)
+            assert np.isfinite(row["psnr"]), source
+            assert np.isfinite(row["R_error_mean_unaligned"]), source
+
 
 class TestViewGraphSelection:
     def test_priority_by_weight(self):

@@ -196,16 +196,21 @@ def main():
 
     trainer = GGRtTrainer(cfg)
     t0 = time.perf_counter()
+    # Every stage resumes from its own out-dir checkpoints (train_loop
+    # saves a final checkpoint on exit): rerunning the SAME command after
+    # an interruption — or after an eval-only code change — skips
+    # completed training stages and proceeds straight to the evals. A
+    # fresh out dir behaves exactly as before.
     # Stage 1: nerf_only.
     train_loop(trainer, batches(), f"{args.out}/stage_nerf",
                n_iters=args.nerf, machine_schedule=lambda s: "nerf_only",
-               resume=False)
+               resume=True)
     # Stage 2a: distill-only pose warm-up (the r4 attempt-3 recipe).
     pose_warm = min(args.pose_warm, args.pose)
     if pose_warm > 0:
         train_loop(trainer, batches(), f"{args.out}/stage_distill",
                    n_iters=pose_warm, machine_schedule=lambda s: "pose_only",
-                   resume=False)
+                   resume=True)
 
     # Self-supervised pose-target generation (teacher-depth warp descent)
     # + selfdistill stage, optionally repeated EM-style: each round
@@ -269,7 +274,7 @@ def main():
             train_loop(trainer, batches(),
                        f"{args.out}/stage_selfdistill{r if r else ''}",
                        n_iters=n_r,
-                       machine_schedule=lambda s: "pose_only", resume=False)
+                       machine_schedule=lambda s: "pose_only", resume=True)
     train_s = time.perf_counter() - t0
 
     evaluator.params = trainer.state.params  # reuse the compiled graphs
@@ -320,6 +325,15 @@ def main():
     }
     baselines = {}
     out_path = Path(args.out) / "EVAL_FLAGSHIP.json"
+    # Previous same-out-dir result, read BEFORE this run's first dump
+    # overwrites it (used to carry the cache A/B over on resume).
+    prev_run = {}
+    if out_path.exists():
+        try:
+            with open(out_path) as f:
+                prev_run = json.load(f)
+        except (OSError, ValueError):
+            prev_run = {}
     out_path.parent.mkdir(parents=True, exist_ok=True)
     artifact = Path(args.artifact) if args.artifact else ROOT / "EVAL_FLAGSHIP_r05.json"
 
@@ -418,7 +432,7 @@ def main():
 
         train_loop(ceil_trainer, ceil_batches(), f"{args.out}/stage_ceiling",
                    n_iters=args.ceiling,
-                   machine_schedule=lambda s: "nerf_only", resume=False)
+                   machine_schedule=lambda s: "nerf_only", resume=True)
         ceil_eval = Evaluator(cfg, ceil_trainer.state.params)
         try:
             summary = ceil_eval.evaluate_dataset(
@@ -442,8 +456,20 @@ def main():
               json.dumps(sanitize(result["overfit_ceiling_scene0"])), flush=True)
 
     # Gaussian-cache A/B (VERDICT r2 #8): steady-state per-step wall time
-    # with the cross-iteration cache on vs off, same scene stream.
-    if args.cache_ab > 0:
+    # with the cross-iteration cache on vs off, same scene stream. A
+    # resumed run carries the previous measurement over: the timed graphs
+    # depend only on (cfg, scene stream, cache_ab steps), all unchanged
+    # under resume, and the cached-trainer compiles alone cost ~30 min
+    # through the tunnel.
+    prev_cache_ab = None
+    if args.cache_ab > 0 and prev_run.get("args", {}).get("cache_ab") == args.cache_ab:
+        prev_cache_ab = prev_run.get("cache_ab")
+    if prev_cache_ab is not None and "error" not in prev_cache_ab:
+        result["cache_ab"] = dict(prev_cache_ab,
+                                  carried_from_previous_run=True)
+        print("cache_ab (carried over)", json.dumps(result["cache_ab"]),
+              flush=True)
+    elif args.cache_ab > 0:
         from ggrt_official_tpu.training.trainer_cached import CachedGGRtTrainer
 
         def timed_steps(tr, tag):
