@@ -26,7 +26,7 @@ from . import metrics
 class Evaluator:
     def __init__(self, cfg: GGRtConfig, params,
                  refine_depth_source: str = "field",
-                 refine_depth_rounds: int = 2):
+                 refine_depth_rounds: int = 3):
         self.cfg = cfg
         self.model = GGRtModel(cfg)
         self.params = params
